@@ -1,0 +1,222 @@
+"""Frontier DataFrame transforms — A1 seed ingest, A2/A3 canon+hash,
+A5 seen-probe, A6 robots, A7 priority, A8 politeness top-K, A9 skew
+salting, A10 fetch, A11-A15 husk, A16 frontier merge (SURVEY §2.A).
+
+All logic is declarative DataFrame ops + vectorized pandas/Arrow UDFs;
+ordering decisions are always column expressions with total tie-breaks
+(priority asc, url_canon asc) — never partition-iteration order — which is
+what makes output invariant across local[8]/local[32] (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import bloom as bloom_mod
+from .canon import canonicalize_series, host_series
+from .extract import husk_frame
+from .robots import allowed_series
+from .schemas import EXTRACTED, FRONTIER, SEEDS
+
+# frozen spec: priority = 10*depth + seed_distance (lower fetched first);
+# mirrored by model_crawler.py for ordering parity.
+PRIORITY_DEPTH_W = 10.0
+PRIORITY_SEED_W = 1.0
+
+canonicalize_udf = F.pandas_udf(canonicalize_series, T.StringType())
+host_udf = F.pandas_udf(host_series, T.StringType())
+robots_allowed_udf = F.pandas_udf(allowed_series, T.BooleanType())
+
+_HUSK_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+
+
+def priority_expr(depth: Column, seed_distance: Column) -> Column:
+    return depth.cast("double") * F.lit(PRIORITY_DEPTH_W) + \
+        seed_distance.cast("double") * F.lit(PRIORITY_SEED_W)
+
+
+def with_canon(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFrame:
+    """A2/A3: canon (Arrow UDF) → host → xxhash64 (JVM-side) → host_bucket."""
+    return (
+        df.withColumn("url_canon", canonicalize_udf(F.col(url_col)))
+        .withColumn("url_hash", F.xxhash64("url_canon"))
+        .withColumn("host", host_udf("url_canon"))
+        .withColumn("host_bucket",
+                    F.pmod(F.xxhash64("host"), F.lit(n_buckets)).cast("int"))
+    )
+
+
+def seeds_to_frontier(spark: SparkSession, seed_urls, n_buckets: int) -> DataFrame:
+    """A1: seed list → frontier rows (depth 0, round 0, PENDING)."""
+    seeds = spark.createDataFrame([(u, 0.0) for u in seed_urls], SEEDS)
+    return (
+        with_canon(seeds.drop("priority"), n_buckets)
+        .withColumn("depth", F.lit(0))
+        .withColumn("seed_distance", F.lit(0))
+        .withColumn("priority", priority_expr(F.col("depth"), F.col("seed_distance")))
+        .withColumn("discovered_round", F.lit(0))
+        .withColumn("status", F.lit("PENDING"))
+        .withColumn("lineage_src_url_hash", F.lit(None).cast("long"))
+        .select([f.name for f in FRONTIER.fields])
+        # seed lists may themselves contain canonical duplicates
+        .dropDuplicates(["url_hash"])
+    )
+
+
+def apply_robots(pending: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """A6: broadcast-join tiny robots table on host, evaluate rules
+    vectorized → adds boolean ``robots_ok``."""
+    rules = F.broadcast(robots_df.select("host", "rules"))
+    return (
+        pending.join(rules, "host", "left")
+        .withColumn("robots_ok", robots_allowed_udf(F.col("rules"), F.col("url_canon")))
+        .drop("rules")
+    )
+
+
+def select_topk_per_host(allowed: DataFrame, budget: int,
+                         salt_buckets: Optional[int] = 8) -> DataFrame:
+    """A8 politeness: ≤``budget`` URLs per host per round, best priority
+    first, deterministic total order (priority, url_canon).
+
+    A9 skew: AQE cannot split a skewed *window* partition, so heavy
+    fan-in hosts are handled with two-phase top-K — phase 1 ranks within
+    (host, salt) keeping ≤budget per salt (bounds any single task at
+    ~|host|/S rows), phase 2 ranks the ≤S·budget survivors per host.
+    Global top-B ⊆ union of per-salt top-B ⇒ exact.
+    """
+    order = [F.col("priority").asc(), F.col("url_canon").asc()]
+    if salt_buckets and salt_buckets > 1:
+        salted = allowed.withColumn(
+            "_salt", F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int"))
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        allowed = (
+            salted.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= budget)
+            .drop("_rk1", "_salt")
+        )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        allowed.withColumn("sel_rank", F.row_number().over(w2))
+        .filter(F.col("sel_rank") <= budget)
+    )
+
+
+def fetch_and_husk(selected: DataFrame, pages: DataFrame) -> DataFrame:
+    """A10 fetch (the pages table IS the web in-sandbox: join on canonical
+    url) + A11-A15 husk via one vectorized Arrow UDF.
+
+    Returns selected columns + (fetched:boolean, text, links, lang).
+    At cluster scale the join is shuffle-hash/sort-merge on url with AQE
+    skew splitting; the real-web deployment path swaps this join for an
+    async-HTTP ``mapInPandas`` with the same output schema.
+    """
+    pg = pages.select(
+        F.col("url").alias("_page_url"),
+        F.col("html").alias("_html"),
+        F.col("lang").alias("lang"),
+    )
+    joined = selected.join(
+        pg, selected["url_canon"] == pg["_page_url"], "left")
+
+    husk_udf = F.pandas_udf(husk_frame, _HUSK_SCHEMA)
+    return (
+        joined.withColumn("fetched", F.col("_html").isNotNull())
+        .withColumn("_husked", husk_udf(F.col("url_canon"), F.col("_html")))
+        .withColumn("text", F.when(F.col("fetched"), F.col("_husked.text")))
+        .withColumn("links", F.when(F.col("fetched"), F.col("_husked.links"))
+                    .otherwise(F.array().cast("array<string>")))
+        .drop("_page_url", "_html", "_husked")
+    )
+
+
+def discover_links(extracted: DataFrame, round_no: int, n_buckets: int) -> DataFrame:
+    """A14→A16 front half: explode links, canonicalize+hash, and collapse
+    within-round duplicates deterministically (min parent by
+    (depth, url_canon) wins and supplies depth/distance/lineage)."""
+    parents = extracted.select(
+        F.col("url_hash").alias("p_hash"),
+        F.col("url_canon").alias("p_canon"),
+        F.col("depth").alias("p_depth"),
+        F.col("seed_distance").alias("p_dist"),
+        F.explode("links").alias("url"),
+    )
+    cand = with_canon(parents, n_buckets)
+    best = F.min(F.struct("p_depth", "p_dist", "p_canon", "p_hash")).alias("b")
+    return (
+        cand.groupBy("url_hash")
+        .agg(
+            best,
+            F.min(F.struct("url_canon", "url", "host", "host_bucket")).alias("u"),
+        )
+        .select(
+            F.col("u.url").alias("url"),
+            F.col("u.url_canon").alias("url_canon"),
+            "url_hash",
+            F.col("u.host").alias("host"),
+            F.col("u.host_bucket").alias("host_bucket"),
+            (F.col("b.p_depth") + 1).alias("depth"),
+            (F.col("b.p_dist") + 1).alias("seed_distance"),
+            F.col("b.p_hash").alias("lineage_src_url_hash"),
+        )
+        .withColumn("priority", priority_expr(F.col("depth"), F.col("seed_distance")))
+        .withColumn("discovered_round", F.lit(round_no))
+        .withColumn("status", F.lit("PENDING"))
+        .select([f.name for f in FRONTIER.fields])
+    )
+
+
+def probe_seen(candidates: DataFrame, frontier: DataFrame,
+               bloom_blobs: Optional[dict], spark: SparkSession) -> DataFrame:
+    """A5 dedupe, exact-with-Bloom-fast-path (SURVEY §2.A A5):
+
+    * Bloom NEGATIVE ⇒ definitely unseen ⇒ admitted with NO join.
+    * Bloom POSITIVE ⇒ maybe seen ⇒ exact left_anti join against the
+      authoritative frontier (false positives survive; true duplicates
+      drop).  At 10^10 scale the anti-join therefore touches only the
+      tiny maybe-seen slice instead of every discovered link.
+    """
+    if not bloom_blobs:
+        return candidates.join(frontier.select("url_hash").distinct(),
+                               "url_hash", "left_anti")
+
+    bc = spark.sparkContext.broadcast(bloom_blobs)
+
+    def maybe_seen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blobs = bc.value
+        for batch in it:
+            out = batch.copy()
+            flags = pd.Series(False, index=batch.index)
+            for bucket, grp in batch.groupby("host_bucket"):
+                blob = blobs.get(int(bucket))
+                if blob is not None:
+                    flags.loc[grp.index] = bloom_mod.contains_many(
+                        blob, grp["url_hash"].to_numpy())
+            out["maybe_seen"] = flags
+            yield out
+
+    schema = T.StructType(candidates.schema.fields +
+                          [T.StructField("maybe_seen", T.BooleanType())])
+    flagged = candidates.mapInPandas(maybe_seen, schema)
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    verified = maybe.join(frontier.select("url_hash").distinct(),
+                          "url_hash", "left_anti")
+    return fresh.unionByName(verified)
+
+
+def to_extracted(fetched: DataFrame, round_no: int) -> DataFrame:
+    return (
+        fetched.filter(F.col("fetched"))
+        .withColumn("round", F.lit(round_no))
+        .withColumn("n_links", F.size("links").cast("int"))
+        .select([f.name for f in EXTRACTED.fields])
+    )

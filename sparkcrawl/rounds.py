@@ -1,0 +1,271 @@
+"""A17/A18/A19 — crawl-round orchestration, checkpoint/resume, metrics
+(SURVEY §2.A, §3.2).
+
+The reference's main loop is a sequential priority-queue pop/fetch/parse
+cycle (expected: alcazar/crawler.py — unverified, reference absent).  Here
+each round is a Structured-Streaming-style micro-batch [BASELINE.json:6]
+run by a deterministic driver loop (the foreachBatch-equivalent): round
+number is the event-time analog; rounds are synchronous so no watermarks.
+
+State lives in Icebergish tables under ``workdir``; every round ends with
+an atomic checkpoint manifest pinning each table's snapshot id, so a
+killed run resumes exactly (tables are rolled back to the last completed
+checkpoint before continuing — partial-round garbage is unreachable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from functools import reduce
+from typing import Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import bloom as bloom_mod
+from .frontier import (apply_robots, discover_links, fetch_and_husk,
+                       probe_seen, seeds_to_frontier, select_topk_per_host,
+                       to_extracted)
+from .schemas import EXTRACTED, FETCHLOG, FRONTIER, METRICS, SEEN_SET
+from .storage import IcebergishTable
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        robots: DataFrame,
+        budget_per_host: int = 100,
+        n_buckets: int = 32,
+        salt_buckets: int = 8,
+        bloom_capacity_per_bucket: int = 1 << 17,
+        bloom_fpp: float = 0.01,
+    ) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        self.pages = pages
+        self.robots = robots
+        self.budget = budget_per_host
+        self.n_buckets = n_buckets
+        self.salt_buckets = salt_buckets
+        self.bloom_capacity = bloom_capacity_per_bucket
+        self.bloom_fpp = bloom_fpp
+
+        j = lambda name: os.path.join(workdir, name)  # noqa: E731
+        self.frontier = IcebergishTable(j("frontier"), FRONTIER, "host_bucket")
+        self.pending = IcebergishTable(j("pending"), FRONTIER, "host_bucket")
+        self.fetchlog = IcebergishTable(j("fetchlog"), FETCHLOG)
+        self.extracted = IcebergishTable(j("extracted"), EXTRACTED)
+        self.seen = IcebergishTable(j("seen"), SEEN_SET)
+        self.metrics = IcebergishTable(j("metrics"), METRICS)
+        self._tables = {
+            "frontier": self.frontier, "pending": self.pending,
+            "fetchlog": self.fetchlog, "extracted": self.extracted,
+            "seen": self.seen, "metrics": self.metrics,
+        }
+        self._blobs: Dict[int, bytes] = {}
+        self.round = -1
+
+    # ------------------------------------------------------------- checkpoint
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.workdir, "checkpoint.json")
+
+    def _commit_checkpoint(self, round_no: int) -> None:
+        ckpt = {
+            "round": round_no,
+            "snapshots": {n: t.current_snapshot_id() for n, t in self._tables.items()},
+            "ts": time.time(),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.workdir, suffix=".ckpt.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(ckpt, f)
+        os.replace(tmp, self._ckpt_path)
+
+    def read_checkpoint(self) -> Optional[dict]:
+        try:
+            with open(self._ckpt_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def resume(self) -> int:
+        """A18: roll every table back to the last completed checkpoint
+        (Iceberg-style rollback — partial appends of an interrupted round
+        become unreachable), reload the Bloom blobs, return the round to
+        continue from."""
+        ckpt = self.read_checkpoint()
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {self.workdir}")
+        for name, table in self._tables.items():
+            sid = ckpt["snapshots"][name]
+            if sid >= 0 and table.current_snapshot_id() != sid:
+                table._commit(table.manifest_for(sid))
+        self.round = ckpt["round"]
+        self._load_blobs()
+        return self.round
+
+    def _load_blobs(self) -> None:
+        rows = self.seen.read(self.spark).collect()
+        self._blobs = {r["partition_id"]: bytes(r["bloom"]) for r in rows}
+
+    # ------------------------------------------------------------------ init
+    def init(self, seed_urls: List[str]) -> None:
+        """A1: round 0 — seed ingest, initial pending + seen state."""
+        seeds = seeds_to_frontier(self.spark, seed_urls, self.n_buckets)
+        self.frontier.append(seeds, 0)
+        seeds_back = self.frontier.read(self.spark)
+        self.pending.replace(seeds_back, 0)
+        self._update_blooms(seeds_back, 0)
+        self.metrics.append(
+            self.spark.createDataFrame([], METRICS), 0)
+        self.extracted.append(self.spark.createDataFrame([], EXTRACTED), 0)
+        self.fetchlog.append(self.spark.createDataFrame([], FETCHLOG), 0)
+        self.round = 0
+        self._commit_checkpoint(0)
+
+    # ------------------------------------------------------------ bloom state
+    def _update_blooms(self, new_rows: DataFrame, round_no: int) -> None:
+        """A4: per-host_bucket Bloom deltas built executor-side
+        (applyInPandas partial) then merged driver-side with the previous
+        round's blobs — a two-level tree aggregation — and checkpointed."""
+        cap, fpp = self.bloom_capacity, self.bloom_fpp
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            blob = bloom_mod.add_many(bloom_mod.create(cap, fpp),
+                                      pdf["url_hash"].to_numpy())
+            return pd.DataFrame({
+                "partition_id": [int(pdf["host_bucket"].iloc[0])],
+                "round": [round_no],
+                "bloom": [blob],
+                "n_items": [len(pdf)],
+                "fpp": [fpp],
+            })
+
+        deltas = (
+            new_rows.select("host_bucket", "url_hash")
+            .groupBy("host_bucket").applyInPandas(build, SEEN_SET)
+            .collect()
+        )
+        for row in deltas:
+            bucket, blob = row["partition_id"], bytes(row["bloom"])
+            prev = self._blobs.get(bucket)
+            self._blobs[bucket] = blob if prev is None else bloom_mod.merge(prev, blob)
+        rows = [
+            (b, round_no, blob, bloom_mod.n_items(blob), fpp)
+            for b, blob in sorted(self._blobs.items())
+        ]
+        df = self.spark.createDataFrame(rows, SEEN_SET) if rows else \
+            self.spark.createDataFrame([], SEEN_SET)
+        self.seen.replace(df, round_no)
+
+    def global_bloom(self) -> Optional[bytes]:
+        """Tree-merge of all per-partition blobs (checkpoint-stats view)."""
+        blobs = list(self._blobs.values())
+        return reduce(bloom_mod.merge, blobs) if blobs else None
+
+    # ------------------------------------------------------------------ round
+    def run_round(self) -> dict:
+        """One micro-batch (SURVEY §3.2 DAG).  Returns the round summary."""
+        r = self.round + 1
+        t0 = time.time()
+        spark = self.spark
+
+        pending = self.pending.read(spark)
+        checked = apply_robots(pending, self.robots)
+        denied = checked.filter(~F.col("robots_ok")).drop("robots_ok")
+        allowed = checked.filter(F.col("robots_ok")).drop("robots_ok")
+
+        selected = select_topk_per_host(allowed, self.budget, self.salt_buckets)
+        fetched = fetch_and_husk(selected, self.pages).persist()
+
+        # extracted pages (A11-A15 output)
+        self.extracted.append(to_extracted(fetched, r), r)
+
+        # terminal statuses for everything leaving PENDING this round
+        flog = (
+            fetched.select(
+                "url_hash", "host", "host_bucket",
+                F.lit(r).alias("round"),
+                F.when(F.col("fetched"), F.lit("FETCHED"))
+                .otherwise(F.lit("ERROR")).alias("status"))
+            .unionByName(denied.select(
+                "url_hash", "host", "host_bucket",
+                F.lit(r).alias("round"),
+                F.lit("ROBOTS_DENIED").alias("status")))
+        )
+        self.fetchlog.append(flog, r)
+
+        # discover → dedupe (bloom fast-path + exact anti-join) → append
+        frontier_all = self.frontier.read(spark)
+        extracted_r = self.extracted.read(spark).filter(F.col("round") == r)
+        cands = discover_links(extracted_r, r, self.n_buckets)
+        new = probe_seen(cands, frontier_all, self._blobs, spark)
+        self.frontier.append(new, r)
+
+        # next pending = pending − (this round's terminal urls) ∪ new
+        flog_r = self.fetchlog.read(spark).filter(F.col("round") == r)
+        new_back = self.frontier.read(spark).filter(F.col("discovered_round") == r)
+        pending_next = (
+            pending.join(flog_r.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(new_back)
+        )
+        self.pending.replace(pending_next, r)
+
+        # A4 seen-set extension + A19 metrics, from read-back (materialized)
+        self._update_blooms(new_back, r)
+        wall_ms = int((time.time() - t0) * 1000)
+        stats = (
+            flog_r.groupBy("host_bucket").agg(
+                F.sum(F.when(F.col("status") != "ROBOTS_DENIED", 1).otherwise(0))
+                .alias("urls_selected"),
+                F.sum(F.when(F.col("status") == "FETCHED", 1).otherwise(0))
+                .alias("urls_fetched"))
+            .join(
+                extracted_r.join(flog_r.select("url_hash", "host_bucket")
+                                 .withColumnRenamed("host_bucket", "hb"),
+                                 "url_hash")
+                .groupBy(F.col("hb").alias("host_bucket"))
+                .agg(F.count("*").alias("urls_extracted"),
+                     F.sum("n_links").alias("links_found")),
+                "host_bucket", "full")
+            .join(new_back.groupBy("host_bucket")
+                  .agg(F.count("*").alias("links_new")), "host_bucket", "full")
+            .select(
+                F.lit(r).alias("round"),
+                F.col("host_bucket").alias("partition_id"),
+                *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                  for c in ("urls_selected", "urls_fetched", "urls_extracted",
+                            "links_found", "links_new")],
+                F.lit(wall_ms).alias("wall_ms"))
+        )
+        self.metrics.append(stats, r)
+        fetched.unpersist()
+
+        self.round = r
+        self._commit_checkpoint(r)
+        summary = (
+            self.metrics.read(spark).filter(F.col("round") == r)
+            .agg(*[F.sum(c).alias(c) for c in
+                   ("urls_selected", "urls_fetched", "urls_extracted",
+                    "links_found", "links_new")])
+            .collect()[0].asDict()
+        )
+        summary.update({"round": r, "wall_ms": wall_ms,
+                        "pending": pending_next.count()})
+        return summary
+
+    def run(self, max_rounds: int, stop_when_idle: bool = True) -> List[dict]:
+        out = []
+        for _ in range(max_rounds):
+            s = self.run_round()
+            out.append(s)
+            if stop_when_idle and not s["pending"]:
+                break
+        return out

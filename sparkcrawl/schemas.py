@@ -1,0 +1,110 @@
+"""Fixed StructType schemas for every table the engine touches (SURVEY §1.2).
+
+The reference (alcazar) is row-oriented with dynamic Python types
+(expected: alcazar/datastructures.py — unverified, reference absent); our
+model is columnar with fixed schemas — the intentional architecture
+divergence for Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# input: Common-Crawl-style pages table — shape fixed by BASELINE.json:15.
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# core crawl state: the URL frontier (Icebergish table, partitioned by
+# host_bucket).  status ∈ PENDING|FETCHED|ROBOTS_DENIED|ERROR.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("seed_distance", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("discovered_round", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("lineage_src_url_hash", T.LongType(), True),
+    ]
+)
+
+# per-host-bucket Bloom filters over url_hash (the distributed seen-set).
+SEEN_SET = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("bloom", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("fpp", T.DoubleType(), False),
+    ]
+)
+
+# robots.txt rules per host — small, broadcast.
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetched_ts", T.TimestampType(), True),
+        T.StructField("rules", T.StringType(), True),
+    ]
+)
+
+# seed list.
+SEEDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), True),
+    ]
+)
+
+# append-only per-round, per-partition metrics (resumability + bench).
+METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("urls_selected", T.LongType(), False),
+        T.StructField("urls_fetched", T.LongType(), False),
+        T.StructField("urls_extracted", T.LongType(), False),
+        T.StructField("links_found", T.LongType(), False),
+        T.StructField("links_new", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+# fetched+extracted page output per round.
+EXTRACTED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_canon", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("seed_distance", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("n_links", T.IntegerType(), False),
+        T.StructField("links", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+# terminal status log: one row per URL leaving PENDING
+# (status ∈ FETCHED|ROBOTS_DENIED|ERROR; at most one row per url_hash).
+FETCHLOG = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+    ]
+)

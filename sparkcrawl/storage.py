@@ -1,0 +1,145 @@
+"""Icebergish storage shim (SURVEY §1.3 caveat): partitioned Parquet +
+atomic JSON manifests.
+
+This Spark install has no Iceberg runtime jar and no network to fetch one
+(verified at survey time), so this module provides the Iceberg properties
+the engine actually relies on —
+
+* atomic append / replace commits (manifest written via ``os.replace``)
+* snapshot isolation + time travel (``read(snapshot_id=...)``)
+* partition pruning (data laid out as ``host_bucket=N/`` dirs)
+* per-snapshot lineage metadata (round number, parent snapshot)
+
+— behind one class, so a real Iceberg catalog can be swapped in when jars
+are available without touching the engine.  Single-writer (the driver
+loop), which matches the crawl orchestration model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class IcebergishTable:
+    def __init__(self, path: str, schema: T.StructType,
+                 partition_by: Optional[str] = None) -> None:
+        self.path = path
+        self.schema = schema
+        self.partition_by = partition_by
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def current_manifest(self) -> Optional[dict]:
+        try:
+            with open(self._current_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def manifest_for(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.path, "manifests", f"v{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> int:
+        m = self.current_manifest()
+        return -1 if m is None else m["snapshot_id"]
+
+    def _commit(self, manifest: dict) -> None:
+        """Write versioned manifest, then atomically flip the current
+        pointer — the Iceberg commit protocol in miniature."""
+        sid = manifest["snapshot_id"]
+        vpath = os.path.join(self.path, "manifests", f"v{sid}.json")
+        with open(vpath, "w") as f:
+            json.dump(manifest, f)
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._current_path)
+
+    # -- writes ---------------------------------------------------------------
+    def _write_snapshot(self, df: DataFrame, sid: int) -> str:
+        data_dir = os.path.join(self.path, "data", f"snap-{sid:06d}")
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(data_dir)
+        return data_dir
+
+    def append(self, df: DataFrame, round_no: int) -> int:
+        """Atomic append: new snapshot = parent's data dirs + this one."""
+        parent = self.current_manifest()
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        data_dir = self._write_snapshot(df, sid)
+        dirs = (parent["data_dirs"] if parent else []) + [data_dir]
+        self._commit({
+            "snapshot_id": sid,
+            "parent": parent["snapshot_id"] if parent else None,
+            "round": round_no,
+            "mode": "append",
+            "data_dirs": dirs,
+            "ts": time.time(),
+        })
+        return sid
+
+    def replace(self, df: DataFrame, round_no: int) -> int:
+        """Atomic replace: new snapshot's data = this write only (used for
+        per-round state tables: pending frontier, bloom blobs).  Old
+        snapshots stay readable (time travel / resume)."""
+        parent = self.current_manifest()
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        data_dir = self._write_snapshot(df, sid)
+        self._commit({
+            "snapshot_id": sid,
+            "parent": parent["snapshot_id"] if parent else None,
+            "round": round_no,
+            "mode": "replace",
+            "data_dirs": [data_dir],
+            "ts": time.time(),
+        })
+        return sid
+
+    # -- reads ----------------------------------------------------------------
+    def read(self, spark: SparkSession,
+             snapshot_id: Optional[int] = None) -> DataFrame:
+        """Scan the table as of a snapshot (default: current).  Partition
+        dirs (``host_bucket=N``) are discovered per data dir, preserving
+        partition pruning on that column."""
+        manifest = (self.current_manifest() if snapshot_id is None
+                    else self.manifest_for(snapshot_id))
+        dirs: List[str] = [] if manifest is None else [
+            d for d in manifest["data_dirs"] if os.path.isdir(d)
+        ]
+        if not dirs:
+            return spark.createDataFrame([], self.schema)
+        parts = [
+            spark.read.option("basePath", d).schema(self._read_schema())
+            .parquet(d) if self.partition_by else
+            spark.read.schema(self.schema).parquet(d)
+            for d in dirs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _read_schema(self) -> T.StructType:
+        # partition column comes back from dir names; keep declared order
+        return self.schema
+
+    def truncate(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
