@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship query — renders a Common-Crawl-style pages table from
+the sf0.001 documents parquet (BASELINE.json:15 shape) and runs one
+crawl-extraction pass (canonicalize → husk → link explode → aggregate)
+through the vectorized Arrow-UDF path.
+
+``queries`` / ``oracle_sql``: the full operator inventory from
+SURVEY.md §2 — relational (sparkcrawl/queries.py), training-data ops
+(sparkcrawl/textops.py), crawl-engine ops (sparkcrawl/crawlq.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkcrawl.registry import ORACLES, QUERIES, load_all  # noqa: E402
+
+load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.crawlq import _doc_pages, _husk_udf
+
+    pages = _doc_pages(spark, "/root/testdata/sf0.001")
+    husked = pages.withColumn("h", _husk_udf("url", "html"))
+    return (
+        husked.select(
+            "doc_id", "url",
+            F.md5(F.encode(F.col("h.text"), "UTF-8")).alias("text_md5"),
+            F.length("h.text").alias("text_len"),
+            F.size("h.links").alias("n_links"))
+        .orderBy("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-ANSI equivalents (tables pre-registered as views); queries
+    without an entry here are genuinely non-SQL-expressible (bloom bit
+    math, LSH hyperplane constants, HLL estimates, numpy features) and
+    get the driver's rows-only check."""
+    return dict(ORACLES)

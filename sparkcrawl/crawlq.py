@@ -1,0 +1,222 @@
+"""Crawl-engine operators exposed through the driver contract.
+
+The crawl engine's native input is a pages table of (url, warc_ts, html,
+text, lang) [BASELINE.json:15]; for the DuckDB-oracle gate we render that
+table deterministically FROM the driver's ``documents`` parquet
+(corpus.render_doc_html), so every crawl-side result — extraction, link
+graph, canonicalization, politeness selection, robots — has a closed-form
+ANSI-SQL oracle over the same inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import bloom as bloom_mod
+from .corpus import doc_url, render_doc_html
+from .extract import husk_frame
+from .frontier import canonicalize_udf, select_topk_per_host
+from .registry import q, t
+from .robots import allowed_series
+
+_HUSK_SCHEMA = T.StructType([
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+])
+_husk_udf = F.pandas_udf(husk_frame, _HUSK_SCHEMA)
+_robots_udf = F.pandas_udf(allowed_series, T.BooleanType())
+
+
+def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages(url, html) via the deterministic renderer."""
+    d = t(spark, sf_dir, "documents")
+    n = d.count()
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "url": [doc_url(int(i)) for i in b["doc_id"]],
+                "html": [render_doc_html(int(i), x, n)
+                         for i, x in zip(b["doc_id"], b["text"])],
+            })
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    return d.select("doc_id", "text").mapInPandas(render, schema)
+
+
+# n / k / j arithmetic must mirror corpus.doc_link_targets exactly.
+_TARGETS_SQL = """
+  SELECT d.doc_id, j.j,
+         (d.doc_id * 31 + 7 * (j.j + 1)) % (SELECT COUNT(*) FROM documents)
+           AS target
+  FROM documents d
+  JOIN (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) j
+    ON j.j < 1 + d.doc_id % 3
+"""
+
+
+@q("crawl_extract_text", """
+WITH links AS (
+  SELECT doc_id,
+         string_agg('d' || CAST(target AS VARCHAR), ' ' ORDER BY j) AS line2
+  FROM (""" + _TARGETS_SQL + """)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN TRIM(regexp_replace(d.text, '\\s+', ' ', 'g')) = ''
+            THEN l.line2
+            ELSE TRIM(regexp_replace(d.text, '\\s+', ' ', 'g'))
+                 || chr(10) || l.line2 END AS extracted,
+       1 + d.doc_id % 3 AS n_links
+FROM documents d JOIN links l USING (doc_id)
+""")
+def crawl_extract_text(spark, sf):
+    """A11/A12 through the full Arrow-UDF path on rendered pages; the
+    oracle reconstructs the frozen extraction spec (escape round-trip +
+    whitespace collapse + block-newline between <p> and the link <div>)
+    in closed form."""
+    pages = _doc_pages(spark, sf)
+    return (pages.withColumn("h", _husk_udf("url", "html"))
+            .select("doc_id", F.col("h.text").alias("extracted"),
+                    F.size("h.links").cast("long").alias("n_links")))
+
+
+@q("crawl_link_graph", """
+SELECT target AS doc_id, COUNT(*) AS n_inlinks
+FROM (""" + _TARGETS_SQL + """)
+GROUP BY target
+""")
+def crawl_link_graph(spark, sf):
+    """A14/A15 + explode + agg: in-link counts over the rendered web —
+    links are parsed from html by the UDF, not recomputed arithmetically
+    (the oracle does the arithmetic)."""
+    pages = _doc_pages(spark, sf)
+    links = (pages.withColumn("h", _husk_udf("url", "html"))
+             .select(F.explode("h.links").alias("link")))
+    return (links.select(F.regexp_extract("link", r"/d/(\d+)$", 1)
+                         .cast("long").alias("doc_id"))
+            .groupBy("doc_id").agg(F.count("*").alias("n_inlinks")))
+
+
+@q("crawl_canonicalize", """
+SELECT doc_id,
+       'http://docs' || (doc_id % 10) || '.example/d/' || doc_id ||
+       CASE WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END AS url_canon
+FROM documents
+""")
+def crawl_canonicalize(spark, sf):
+    """A2 through the pandas UDF on adversarial URL variants (case,
+    fragment, unsorted+tracking params, default port); the oracle states
+    the expected canonical form directly."""
+    d = t(spark, sf, "documents")
+    messy = (
+        F.concat(
+            F.lit("HTTP://DOCS"), F.col("doc_id") % 10, F.lit(".Example:80/d/"),
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?utm_source=x&b=2&a=1"))
+            .otherwise(F.lit(""))))
+    return d.select("doc_id", canonicalize_udf(messy).alias("url_canon"))
+
+
+@q("crawl_topk_per_host", """
+SELECT host, url, rk FROM (
+  SELECT host, url, ROW_NUMBER() OVER (PARTITION BY host
+                                       ORDER BY priority, url) AS rk
+  FROM (SELECT 'docs' || (doc_id % 10) || '.example' AS host,
+               'http://docs' || (doc_id % 10) || '.example/d/' || doc_id AS url,
+               CAST(n_chars AS DOUBLE) AS priority
+        FROM documents))
+WHERE rk <= 3
+""")
+def crawl_topk_per_host(spark, sf):
+    """A8/A9: per-host politeness top-K through the engine's salted
+    two-phase window (exactness of salting vs the plain window is the
+    point; the oracle is the plain window)."""
+    d = t(spark, sf, "documents")
+    frontier_like = d.select(
+        F.concat(F.lit("docs"), F.col("doc_id") % 10, F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("http://docs"), F.col("doc_id") % 10,
+                 F.lit(".example/d/"), F.col("doc_id")).alias("url"),
+        F.col("n_chars").cast("double").alias("priority"),
+        F.xxhash64(F.col("doc_id").cast("string")).alias("url_hash"),
+    ).withColumn("url_canon", F.col("url"))
+    return (select_topk_per_host(frontier_like, budget=3, salt_buckets=4)
+            .select("host", "url", F.col("sel_rank").alias("rk")))
+
+
+@q("crawl_robots_filter", """
+SELECT doc_id, url,
+       NOT ((doc_id % 10) % 2 = 0 AND doc_id % 5 = 0) AS allowed
+FROM (SELECT doc_id,
+             'http://docs' || (doc_id % 10) || '.example' ||
+             CASE WHEN doc_id % 5 = 0 THEN '/private/' ELSE '/d/' END
+             || doc_id AS url
+      FROM documents)
+""")
+def crawl_robots_filter(spark, sf):
+    """A6: vectorized robots evaluation — even-numbered hosts deny
+    /private/; the oracle states the rule arithmetic directly."""
+    d = t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://docs"), F.col("doc_id") % 10, F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/"))
+            .otherwise(F.lit("/d/")),
+            F.col("doc_id")).alias("url"))
+    rules = F.when((F.col("doc_id") % 10) % 2 == 0,
+                   F.lit("User-agent: *\nDisallow: /private/\n")) \
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    return urls.select("doc_id", "url",
+                       _robots_udf(rules, F.col("url")).alias("allowed"))
+
+
+@q("crawl_seen_bloom_probe")  # bloom bit-math is engine-side → rows-only
+def crawl_seen_bloom_probe(spark, sf):
+    """A4/A5: build per-bucket Bloom filters over the even doc urls
+    (applyInPandas partial + driver merge), probe all urls via mapInPandas
+    with broadcast blobs.  Exactness contract (negative ⇒ definitely
+    unseen) is asserted in tests; no SQL oracle for the bit math."""
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        F.xxhash64(F.concat(F.lit("http://docs"), F.col("doc_id") % 10,
+                            F.lit(".example/d/"), F.col("doc_id")))
+        .alias("url_hash"),
+        (F.col("doc_id") % 4).cast("int").alias("bucket"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        blob = bloom_mod.add_many(bloom_mod.create(1 << 12),
+                                  pdf["url_hash"].to_numpy())
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "blob": [blob]})
+
+    blobs_rows = (d.filter(F.col("doc_id") % 2 == 0)
+                  .groupBy("bucket")
+                  .applyInPandas(build, "bucket int, blob binary")
+                  .collect())
+    blobs = {r["bucket"]: bytes(r["blob"]) for r in blobs_rows}
+    bc = spark.sparkContext.broadcast(blobs)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bl = bc.value
+        for b in batches:
+            out = pd.Series(False, index=b.index)
+            for bucket, grp in b.groupby("bucket"):
+                blob = bl.get(int(bucket))
+                if blob is not None:
+                    out.loc[grp.index] = bloom_mod.contains_many(
+                        blob, grp["url_hash"].to_numpy())
+            yield pd.DataFrame({"doc_id": b["doc_id"], "maybe_seen": out})
+
+    return d.mapInPandas(probe, "doc_id long, maybe_seen boolean")

@@ -1,0 +1,76 @@
+"""Structured-Streaming surface (SURVEY §1.3 streaming row, §2.B
+streaming-style ops).
+
+Crawl rounds themselves are deterministic synchronous micro-batches run by
+the driver loop in rounds.py (the foreachBatch-equivalent — required for
+ordering parity, BASELINE.json:14).  This module provides the true
+``readStream`` path for the event-analytics side: tumbling/sliding window
+aggregations with watermarked late-data handling, runnable with an
+availableNow trigger over a parquet directory so results are comparable
+to the batch equivalents (asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark bounding late-data state —
+    works identically on a stream or a batch DataFrame."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("w.start").alias("ws"), "n", "v")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session-window counts per user (stateful session merge on stream)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      query_name: str = "sparkcrawl_stream"):
+    """Drain the whole source as micro-batches into an in-memory sink and
+    block until done; returns the StreamingQuery (results via
+    ``spark.table(query_name)``)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

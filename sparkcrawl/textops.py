@@ -1,0 +1,591 @@
+"""Training-data pipeline operators over the ``documents`` / ``embeddings``
+tables — deduplication, similarity search, text analysis, multimodal
+plumbing (driver brief §"training-data pipeline"; SURVEY §2.B UDF row).
+
+Design rule: everything here is JVM-side built-ins (explode / window /
+groupBy / md5 / higher-order array functions) so the hot path stays in
+WholeStageCodegen; Python appears only in the explicitly-marked multimodal
+stubs (mapInPandas) and the LSH hyperplane constants.
+
+Cross-engine hashing: wherever a hash value must match the DuckDB oracle,
+``md5`` (identical hex output in both engines) is used rather than
+xxhash64 (Spark-only).  At 100 TB the same queries run unchanged with
+xxhash64 for ~2× hash throughput — noted per query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import q, t
+
+# ---------------------------------------------------------------- helpers
+
+def _words_w():
+    return Window.partitionBy("doc_id").orderBy("i")
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, w): whitespace tokens with 1-based position."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i0", "w")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+
+
+_WORDS_SQL = """
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+"""
+
+
+def _trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g): word 3-grams (shingles), position order."""
+    w = _words(docs)
+    return (
+        w.withColumn("w1", F.lead("w", 1).over(_words_w()))
+        .withColumn("w2", F.lead("w", 2).over(_words_w()))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("g"))
+    )
+
+
+_TRIGRAMS_SQL = f"""
+  SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS g FROM (
+    SELECT doc_id, w,
+           LEAD(w, 1) OVER win AS w1, LEAD(w, 2) OVER win AS w2
+    FROM ({_WORDS_SQL})
+    WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  ) WHERE w2 IS NOT NULL
+"""
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+@q("dedup_exact", """
+SELECT doc_id, md5(text) AS h,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+            THEN 1 ELSE 0 END AS keep,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+""")
+def dedup_exact(spark, sf):
+    """Exact dedup via content-hash groupBy: canonical representative =
+    min doc_id per hash.  Scale path: hash is computed map-side, the
+    window is one shuffle on h — at 100 TB switch md5→xxhash64 and the
+    window to a groupBy+join if group metadata isn't needed per row."""
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("h")
+    return (d.withColumn("h", F.md5(F.encode("text", "UTF-8")))
+            .select("doc_id", "h",
+                    F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+                    .otherwise(0).alias("keep"),
+                    F.count("*").over(w).alias("group_size")))
+
+
+_SIG_SQL = f"""
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || g)) AS mh
+  FROM ({_TRIGRAMS_SQL}) tri
+  CROSS JOIN (SELECT unnest(range(8)) AS p) perms
+  GROUP BY doc_id, p
+"""
+
+
+@q("dedup_minhash_signatures", f"""
+SELECT doc_id, p, mh FROM ({_SIG_SQL})
+""")
+def dedup_minhash_signatures(spark, sf):
+    """MinHash: K=8 permutations emulated as min(md5(p || shingle)) per
+    doc — one explode + one groupBy (map-side partial min).  100 TB note:
+    shingling explodes ~n_words rows/doc; the min() combines map-side so
+    the shuffle carries only K rows per doc."""
+    tri = _trigrams(t(spark, sf, "documents"))
+    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
+    return (tri.select("doc_id", "g", perms)
+            .groupBy("doc_id", "p")
+            .agg(F.min(F.md5(F.encode(
+                F.concat_ws("|", F.col("p").cast("string"), "g"),
+                "UTF-8"))).alias("mh")))
+
+
+_BANDS_SQL = f"""
+  SELECT doc_id, CAST(p // 2 AS INT) AS band,
+         md5(CAST(CAST(p // 2 AS INT) AS VARCHAR) || ':' ||
+             MIN(CASE WHEN p % 2 = 0 THEN mh END) || '|' ||
+             MIN(CASE WHEN p % 2 = 1 THEN mh END)) AS bh
+  FROM ({_SIG_SQL}) GROUP BY doc_id, p // 2
+"""
+
+
+@q("dedup_minhash_lsh_pairs", f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh_pairs(spark, sf):
+    """LSH banding (4 bands × 2 rows): candidate near-dup pairs share a
+    band hash → equi-self-join on (band, bh).  The join key is the band
+    hash, so at scale candidates co-locate in one shuffle instead of an
+    O(n²) compare."""
+    sig = dedup_minhash_signatures(spark, sf)
+    bands = (
+        sig.withColumn("band", (F.col("p") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.encode(F.concat_ws(
+            "", F.concat(F.col("band").cast("string"), F.lit(":")),
+            F.min(F.when(F.col("p") % 2 == 0, F.col("mh"))),
+            F.lit("|"),
+            F.min(F.when(F.col("p") % 2 == 1, F.col("mh")))), "UTF-8"))
+            .alias("bh"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (a.join(b, ["band", "bh"]).filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+@q("dedup_simhash", """
+WITH words AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN substr(md5(w), j + 1, 1) >= '8' THEN 1 ELSE -1 END) AS v
+  FROM words CROSS JOIN (SELECT unnest(range(16)) AS j) bits
+  GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""")
+def dedup_simhash(spark, sf):
+    """SimHash (16-bit here; 64-bit at scale): per-bit occurrence-weighted
+    votes from the nibble bits of md5(word).  Bit j is the high bit of hex
+    digit j — portable across engines.  Equal simhash ⇒ near-dup bucket."""
+    w = _words(t(spark, sf, "documents"))
+    bits = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
+    votes = (
+        w.withColumn("h", F.md5(F.encode("w", "UTF-8")))
+        .select("doc_id", "h", bits)
+        .withColumn("bit", F.substring(F.col("h"), F.col("j") + 1, F.lit(1)))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.when(F.col("bit") >= "8", 1).otherwise(-1)).alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0,
+                     F.pow(F.lit(2), F.col("j")).cast("long"))
+              .otherwise(0)).cast("long").alias("simhash"))
+
+
+@q("dedup_ngram_jaccard", f"""
+WITH tri AS (SELECT DISTINCT doc_id, g FROM ({_TRIGRAMS_SQL})),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
+cand AS (
+  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+  FROM documents d1 JOIN documents d2
+    ON d1.n_chars = d2.n_chars AND d1.lang = d2.lang
+   AND d1.doc_id < d2.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c JOIN tri ta ON ta.doc_id = c.doc_a
+  JOIN tri tb ON tb.doc_id = c.doc_b AND tb.g = ta.g
+  GROUP BY c.doc_a, c.doc_b)
+SELECT c.doc_a, c.doc_b,
+       ROUND(COALESCE(i, 0) * 1.0 / (sa.n + sb.n - COALESCE(i, 0)), 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN inter USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+""")
+def dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard verification over blocked candidate pairs
+    (blocking key = (n_chars, lang) here; at 100 TB the blocking key is
+    the LSH band from dedup_minhash_lsh_pairs — never all-pairs)."""
+    d = t(spark, sf, "documents")
+    tri = _trigrams(d).distinct()
+    sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
+    d1 = d.select(F.col("doc_id").alias("doc_a"), "n_chars", "lang")
+    d2 = d.select(F.col("doc_id").alias("doc_b"), "n_chars", "lang")
+    cand = d1.join(d2, ["n_chars", "lang"]).filter(F.col("doc_a") < F.col("doc_b")) \
+        .select("doc_a", "doc_b")
+    ta = tri.select(F.col("doc_id").alias("doc_a"), "g")
+    tb = tri.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "g"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (cand.join(inter, ["doc_a", "doc_b"], "left")
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.coalesce(F.col("i"), F.lit(0)) /
+                            (F.col("na") + F.col("nb")
+                             - F.coalesce(F.col("i"), F.lit(0))), 6)
+                    .alias("jaccard")))
+
+
+_COS_PAIR_SQL = """
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+           / SQRT(list_aggregate(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+           / SQRT(list_aggregate(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
+         AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+"""
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cos_col(a, b):
+    return (_dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b)))
+
+
+@q("dedup_embedding_cosine", f"""
+SELECT vec_a, vec_b, cos FROM ({_COS_PAIR_SQL}) WHERE cos >= 0.4
+""")
+def dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs, blocked by label (at scale the
+    block is an LSH/IVF bucket, see ann_lsh_bucketed).  Dot products are
+    sequential double folds → bit-stable across engines."""
+    e = t(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("ea"), "label")
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("eb"), "label")
+    return (a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cos", F.round(_cos_col(F.col("ea"), F.col("eb")), 6))
+            .filter(F.col("cos") >= 0.4)
+            .select("vec_a", "vec_b", "cos"))
+
+
+# =========================================================================
+# Similarity search (ANN)
+# =========================================================================
+
+@q("ann_bruteforce_topk", """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROUND(
+           list_aggregate(list_transform(list_zip(q.embedding, v.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+           / SQRT(list_aggregate(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+           / SQRT(list_aggregate(list_transform(v.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS cos
+  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < 8)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM pairs) WHERE rk <= 5
+""")
+def ann_bruteforce_topk(spark, sf):
+    """Brute-force cosine top-k: broadcast the (tiny) query set against
+    the corpus — one scan, no shuffle until the per-query top-k window.
+    The exactness baseline for the LSH variant below."""
+    e = t(spark, sf, "embeddings")
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")))
+    pairs = (queries.join(e.select(F.col("vec_id").alias("neighbor_id"),
+                                   F.col("embedding").alias("ve")),
+                          F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("cos", F.round(_cos_col(F.col("qe"), F.col("ve")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
+@q("ann_lsh_bucketed")  # hyperplane constants are engine-side → rows-only
+def ann_lsh_bucketed(spark, sf):
+    """Random-hyperplane LSH ANN (the 100 TB path): 6 sign bits bucket
+    each vector; search touches only the query's bucket.  Hyperplanes are
+    deterministic (seed 42).  Rows-only check: the plane constants can't
+    be re-derived in ANSI SQL (recall vs brute force asserted in
+    tests/test_textops.py instead)."""
+    rng = np.random.RandomState(42)
+    planes = rng.randn(6, 64).astype(np.float64).tolist()
+    e = t(spark, sf, "embeddings")
+
+    def bucket_of(vec_col):
+        bits = [
+            F.when(F.aggregate(
+                F.zip_with(vec_col,
+                           F.array(*[F.lit(p) for p in plane]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda a, v: a + v) > 0,
+                F.pow(F.lit(2), F.lit(i)).cast("long")).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    bucketed = e.withColumn("bucket", bucket_of(F.col("embedding")))
+    queries = F.broadcast(
+        bucketed.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+                F.col("bucket").alias("qbucket")))
+    pairs = (queries.join(
+        bucketed.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("ve"), "bucket"),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("cos", F.round(_cos_col(F.col("qe"), F.col("ve")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rk"))
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+@q("text_token_counts", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS INT) AS n_bpeish_tokens
+FROM documents
+""")
+def text_token_counts(spark, sf):
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer regex
+    (letter runs | digit runs | single punctuation)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+        .alias("n_bpeish_tokens"))
+
+
+@q("text_quality_score", """
+WITH base AS (
+  SELECT doc_id, text, LENGTH(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5 AS n_the,
+         (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' a ', ''))) / 3 AS n_a
+  FROM documents)
+SELECT doc_id, n_chars, n_words,
+       ROUND((n_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+       ROUND((n_the + n_a) * 1.0 / n_words, 4) AS stopword_ratio,
+       ROUND(LN(n_chars + 1) * (1 + (n_the + n_a) * 1.0 / n_words), 4)
+         AS quality
+FROM base
+""")
+def text_quality_score(spark, sf):
+    """Quality scoring from length / word-shape / stopword-ratio signals
+    (all string built-ins — no UDF)."""
+    d = t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def count_marker(m):
+        return ((F.length(padded) - F.length(F.replace(padded, F.lit(m))))
+                / len(m)).cast("long")
+
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        count_marker(" the ").alias("n_the"),
+        count_marker(" a ").alias("n_a"))
+    sw = (F.col("n_the") + F.col("n_a")) / F.col("n_words")
+    return base.select(
+        "doc_id", "n_chars", "n_words",
+        F.round((F.col("n_chars") - F.col("n_words") + 1) / F.col("n_words"), 4)
+        .alias("avg_word_len"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        F.round(F.log(F.col("n_chars") + 1) * (1 + sw), 4).alias("quality"))
+
+
+@q("text_lang_id", """
+WITH scores AS (
+  SELECT doc_id,
+    (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' the ', '')))/5
+    + (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' and ', '')))/5
+      AS s_en,
+    (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' el ', '')))/4
+    + (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' los ', '')))/5
+      AS s_es,
+    (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' der ', '')))/5
+    + (LENGTH(' '||text||' ') - LENGTH(REPLACE(' '||text||' ', ' und ', '')))/5
+      AS s_de,
+    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1 ELSE 0 END
+      AS s_zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+       WHEN s_de > 0 THEN 'de'
+       ELSE 'und' END AS lang_pred
+FROM scores
+""")
+def text_lang_id(spark, sf):
+    """Language-ID heuristic: stopword-marker scores + CJK codepoint
+    detection, deterministic precedence (zh > en > es > de > und)."""
+    d = t(spark, sf, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def cm(m):
+        return ((F.length(padded) - F.length(F.replace(padded, F.lit(m))))
+                / len(m)).cast("long")
+
+    scores = d.select(
+        "doc_id",
+        (cm(" the ") + cm(" and ")).alias("s_en"),
+        (cm(" el ") + cm(" los ")).alias("s_es"),
+        (cm(" der ") + cm(" und ")).alias("s_de"),
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), 1).otherwise(0)
+        .alias("s_zh"))
+    return scores.select(
+        "doc_id",
+        F.when(F.col("s_zh") > 0, "zh")
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
+              & (F.col("s_en") > 0), "en")
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") > 0), "es")
+        .when(F.col("s_de") > 0, "de")
+        .otherwise("und").alias("lang_pred"))
+
+
+@q("text_fingerprint_winnow", f"""
+WITH grams AS (
+  SELECT doc_id, i, md5(w || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh
+  FROM (
+    SELECT doc_id, i, w,
+           LEAD(w, 1) OVER win AS w1, LEAD(w, 2) OVER win AS w2,
+           LEAD(w, 3) OVER win AS w3
+    FROM ({_WORDS_SQL}) WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  ) WHERE w3 IS NOT NULL),
+wins AS (
+  SELECT doc_id, i,
+         MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM grams)
+SELECT doc_id, COUNT(DISTINCT fp) AS n_fps, MIN(fp) AS min_fp
+FROM wins WHERE rn >= 5 GROUP BY doc_id
+""")
+def text_fingerprint_winnow(spark, sf):
+    """Document fingerprinting (winnowing): hash word 4-grams, keep the
+    min hash of each sliding window of 5 — the selected fingerprints
+    identify near-copies robustly.  Rolling hash = md5 here for oracle
+    parity (xxhash64 at scale)."""
+    w4 = (_words(t(spark, sf, "documents"))
+          .withColumn("w1", F.lead("w", 1).over(_words_w()))
+          .withColumn("w2", F.lead("w", 2).over(_words_w()))
+          .withColumn("w3", F.lead("w", 3).over(_words_w()))
+          .filter(F.col("w3").isNotNull())
+          .select("doc_id", "i",
+                  F.md5(F.encode(F.concat_ws(" ", "w", "w1", "w2", "w3"),
+                                 "UTF-8")).alias("gh")))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
+    rn = Window.partitionBy("doc_id").orderBy("i")
+    return (w4.withColumn("fp", F.min("gh").over(win))
+            .withColumn("rn", F.row_number().over(rn))
+            .filter(F.col("rn") >= 5)
+            .groupBy("doc_id")
+            .agg(F.countDistinct("fp").alias("n_fps"),
+                 F.min("fp").alias("min_fp")))
+
+
+# =========================================================================
+# Multimodal plumbing (binary payloads + typed metadata)
+# =========================================================================
+
+_MM_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_pixels", T.IntegerType()),
+])
+
+
+@q("multimodal_decode_meta", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(16 + doc_id % 64 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+       CAST((16 + doc_id % 64) * (16 + (doc_id * 7) % 64) AS INT) AS n_pixels
+FROM documents
+""")
+def multimodal_decode_meta(spark, sf):
+    """Multimodal plumbing: an opaque binary payload column + a
+    mapInPandas 'decode' stage.  The real image/audio decode is STUBBED
+    (no codec libs in this container) with a deterministic fake that
+    reads size metadata; the Spark-side shape — binary column, Arrow
+    batches, typed output schema — is the real, tested path."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            w = (16 + ids % 64).astype("int32")
+            h = (16 + (ids * 7) % 64).astype("int32")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_bytes": b["payload"].map(len).astype("int32"),
+                "width": w, "height": h,
+                "n_pixels": (w * h).astype("int32"),
+            })
+
+    return d.mapInPandas(decode, _MM_SCHEMA)
+
+
+@q("multimodal_features")  # numpy feature math → rows-only
+def multimodal_features(spark, sf):
+    """Feature extraction over binary payloads (byte-histogram moments as
+    the deterministic stand-in for image features): vectorized numpy in
+    mapInPandas — the exact shape a real embedding/decode stage takes."""
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_std", T.DoubleType()),
+        T.StructField("entropyish", T.DoubleType()),
+    ])
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            means, stds, ents = [], [], []
+            for payload in b["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    means.append(0.0); stds.append(0.0); ents.append(0.0)
+                    continue
+                counts = np.bincount(arr, minlength=256) / arr.size
+                nz = counts[counts > 0]
+                means.append(round(float(arr.mean()), 6))
+                stds.append(round(float(arr.std()), 6))
+                ents.append(round(float(-(nz * np.log2(nz)).sum()), 6))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "byte_mean": means,
+                                "byte_std": stds, "entropyish": ents})
+
+    return d.mapInPandas(feats, schema)
