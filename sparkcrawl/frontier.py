@@ -110,22 +110,49 @@ def select_topk_per_host(allowed: DataFrame, budget: int,
     )
 
 
-def fetch_and_husk(selected: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_and_husk(selected: DataFrame, pages: DataFrame,
+                   broadcast_selected: bool = False) -> DataFrame:
     """A10 fetch (the pages table IS the web in-sandbox: join on canonical
     url) + A11-A15 husk via one vectorized Arrow UDF.
 
     Returns selected columns + (fetched:boolean, text, links, lang).
-    At cluster scale the join is shuffle-hash/sort-merge on url with AQE
-    skew splitting; the real-web deployment path swaps this join for an
-    async-HTTP ``mapInPandas`` with the same output schema.
+
+    Join strategy (the scale-critical choice — the pages side carries the
+    html payload, which must NEVER be shuffled):
+
+    * ``broadcast_selected=True``: two-part plan. Hits = broadcast-hash
+      inner join with the (politeness-bounded) selected set as build side
+      and the pages scan streamed map-side — zero shuffle of html.
+      Misses (dead links) = left-anti join of selected against the
+      url column only (column-pruned scan, shuffles urls, never html).
+      A single outer join can't do this: Spark cannot broadcast the
+      preserved side of an outer join and would fall back to shuffling
+      the full html through a sort-merge join.
+    * ``False``: plain left join — Catalyst/AQE picks the strategy; at
+      cluster scale pair it with a pages table bucketed by url so only
+      the selected side shuffles.
+
+    The real-web deployment path swaps this join for an async-HTTP
+    ``mapInPandas`` with the same output schema.
     """
     pg = pages.select(
         F.col("url").alias("_page_url"),
         F.col("html").alias("_html"),
         F.col("lang").alias("lang"),
     )
-    joined = selected.join(
-        pg, selected["url_canon"] == pg["_page_url"], "left")
+    if broadcast_selected:
+        hit = pg.join(F.broadcast(selected),
+                      selected["url_canon"] == pg["_page_url"], "inner")
+        miss = selected.join(
+            pg.select("_page_url"),
+            selected["url_canon"] == F.col("_page_url"), "left_anti")
+        joined = hit.unionByName(
+            miss.withColumn("_page_url", F.lit(None).cast("string"))
+            .withColumn("_html", F.lit(None).cast("binary"))
+            .withColumn("lang", F.lit(None).cast("string")))
+    else:
+        joined = selected.join(
+            pg, selected["url_canon"] == pg["_page_url"], "left")
 
     husk_udf = F.pandas_udf(husk_frame, _HUSK_SCHEMA)
     return (
@@ -175,7 +202,7 @@ def discover_links(extracted: DataFrame, round_no: int, n_buckets: int) -> DataF
 
 
 def probe_seen(candidates: DataFrame, frontier: DataFrame,
-               bloom_blobs: Optional[dict], spark: SparkSession) -> DataFrame:
+               bloom_blobs, spark: SparkSession) -> DataFrame:
     """A5 dedupe, exact-with-Bloom-fast-path (SURVEY §2.A A5):
 
     * Bloom NEGATIVE ⇒ definitely unseen ⇒ admitted with NO join.
@@ -184,11 +211,17 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
       drop).  At 10^10 scale the anti-join therefore touches only the
       tiny maybe-seen slice instead of every discovered link.
     """
+    # anti-join needs no distinct on the build side — a duplicate-free
+    # probe result either way, and distinct would re-shuffle the whole
+    # frontier every round.
+    # bloom_blobs: {host_bucket: blob} dict, a Broadcast of one (caller
+    # manages its lifecycle), or None (pure anti-join path).
     if not bloom_blobs:
-        return candidates.join(frontier.select("url_hash").distinct(),
+        return candidates.join(frontier.select("url_hash"),
                                "url_hash", "left_anti")
-
-    bc = spark.sparkContext.broadcast(bloom_blobs)
+    from pyspark import Broadcast
+    bc = (bloom_blobs if isinstance(bloom_blobs, Broadcast)
+          else spark.sparkContext.broadcast(bloom_blobs))
 
     def maybe_seen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         blobs = bc.value
@@ -208,8 +241,7 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
     flagged = candidates.mapInPandas(maybe_seen, schema)
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    verified = maybe.join(frontier.select("url_hash").distinct(),
-                          "url_hash", "left_anti")
+    verified = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
     return fresh.unionByName(verified)
 
 

@@ -46,6 +46,7 @@ class CrawlEngine:
         salt_buckets: int = 8,
         bloom_capacity_per_bucket: int = 1 << 17,
         bloom_fpp: float = 0.01,
+        fetch_broadcast: bool = True,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -56,6 +57,8 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.bloom_capacity = bloom_capacity_per_bucket
         self.bloom_fpp = bloom_fpp
+        self.fetch_broadcast = fetch_broadcast
+        self._pending_count = 0
 
         j = lambda name: os.path.join(workdir, name)  # noqa: E731
         self.frontier = IcebergishTable(j("frontier"), FRONTIER, "host_bucket")
@@ -109,6 +112,7 @@ class CrawlEngine:
                 table._commit(table.manifest_for(sid))
         self.round = ckpt["round"]
         self._load_blobs()
+        self._pending_count = self.pending.read(self.spark).count()
         return self.round
 
     def _load_blobs(self) -> None:
@@ -122,6 +126,7 @@ class CrawlEngine:
         self.frontier.append(seeds, 0)
         seeds_back = self.frontier.read(self.spark)
         self.pending.replace(seeds_back, 0)
+        self._pending_count = self.pending.read(self.spark).count()
         self._update_blooms(seeds_back, 0)
         self.metrics.append(
             self.spark.createDataFrame([], METRICS), 0)
@@ -172,93 +177,137 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ round
     def run_round(self) -> dict:
-        """One micro-batch (SURVEY §3.2 DAG).  Returns the round summary."""
+        """One micro-batch (SURVEY §3.2 DAG).  Returns the round summary.
+
+        Job discipline (the per-round overhead + memory budget):
+
+        * LIGHT DataFrames (pending/selected/candidates — urls + metadata,
+          no payloads) are persisted and shared by their consumers.
+        * The HEAVY path (html → husk UDF → text/links) is materialized
+          exactly ONCE, by the extracted-table write; everything that
+          needs its results (fetchlog status, link discovery, metrics)
+          reads the just-written parquet back column-pruned.  Caching
+          multi-GB html/text rows instead measurably caused GC stalls and
+          cache-eviction recompute at bench scale."""
         r = self.round + 1
         t0 = time.time()
         spark = self.spark
+        phases = {}
 
+        def mark(name, t_start):
+            phases[name] = phases.get(name, 0) + int((time.time() - t_start) * 1000)
+            return time.time()
+
+        tp = time.time()
         pending = self.pending.read(spark)
-        checked = apply_robots(pending, self.robots)
+        checked = apply_robots(pending, self.robots).persist()
         denied = checked.filter(~F.col("robots_ok")).drop("robots_ok")
         allowed = checked.filter(F.col("robots_ok")).drop("robots_ok")
 
-        selected = select_topk_per_host(allowed, self.budget, self.salt_buckets)
-        fetched = fetch_and_husk(selected, self.pages).persist()
+        # selected feeds three consumers (fetch broadcast, miss anti-join,
+        # pending update) — persist or the robots-UDF + double window
+        # recompute three times per round
+        selected = select_topk_per_host(allowed, self.budget,
+                                        self.salt_buckets).persist()
 
-        # extracted pages (A11-A15 output)
+        tp = mark("plan", tp)
+        # A10-A15: the one heavy pass — scan html, husk, write text+links.
+        fetched = fetch_and_husk(selected, self.pages,
+                                 broadcast_selected=self.fetch_broadcast)
         self.extracted.append(to_extracted(fetched, r), r)
+        # column-pruned read-back of what was just written (url_hash/links/
+        # n_links only — never text), shared by flog/discovery/metrics
+        ext_r = self.extracted.read(spark).filter(F.col("round") == r)
+        ext_keys = ext_r.select("url_hash")
+        tp = mark("fetch_extract_write", tp)
 
-        # terminal statuses for everything leaving PENDING this round
+        # terminal statuses for everything leaving PENDING this round:
+        # FETCHED if the husk pass produced a row, ERROR otherwise
         flog = (
-            fetched.select(
-                "url_hash", "host", "host_bucket",
-                F.lit(r).alias("round"),
-                F.when(F.col("fetched"), F.lit("FETCHED"))
-                .otherwise(F.lit("ERROR")).alias("status"))
+            selected.join(ext_keys.withColumn("_f", F.lit(True)),
+                          "url_hash", "left")
+            .select("url_hash", "host", "host_bucket",
+                    F.lit(r).alias("round"),
+                    F.when(F.col("_f"), F.lit("FETCHED"))
+                    .otherwise(F.lit("ERROR")).alias("status"))
             .unionByName(denied.select(
                 "url_hash", "host", "host_bucket",
                 F.lit(r).alias("round"),
                 F.lit("ROBOTS_DENIED").alias("status")))
         )
         self.fetchlog.append(flog, r)
+        tp = mark("fetchlog_write", tp)
 
         # discover → dedupe (bloom fast-path + exact anti-join) → append
         frontier_all = self.frontier.read(spark)
-        extracted_r = self.extracted.read(spark).filter(F.col("round") == r)
-        cands = discover_links(extracted_r, r, self.n_buckets)
-        new = probe_seen(cands, frontier_all, self._blobs, spark)
+        cands = discover_links(ext_r, r, self.n_buckets).persist()
+        probe_bc = spark.sparkContext.broadcast(self._blobs) if self._blobs else None
+        new = probe_seen(cands, frontier_all, probe_bc, spark).persist()
         self.frontier.append(new, r)
+        tp = mark("discover_frontier_write", tp)
 
-        # next pending = pending − (this round's terminal urls) ∪ new
-        flog_r = self.fetchlog.read(spark).filter(F.col("round") == r)
-        new_back = self.frontier.read(spark).filter(F.col("discovered_round") == r)
+        # next pending = allowed − selected ∪ new (selected is small →
+        # broadcast anti-join; no shuffle of the pending side)
         pending_next = (
-            pending.join(flog_r.select("url_hash"), "url_hash", "left_anti")
-            .unionByName(new_back)
+            allowed.join(F.broadcast(selected.select("url_hash")),
+                         "url_hash", "left_anti")
+            .unionByName(new)
         )
         self.pending.replace(pending_next, r)
+        tp = mark("pending_write", tp)
 
-        # A4 seen-set extension + A19 metrics, from read-back (materialized)
-        self._update_blooms(new_back, r)
+        # A4 seen-set extension + A19 metrics, all from persisted DFs.
+        self._update_blooms(new, r)
+        tp = mark("blooms", tp)
         wall_ms = int((time.time() - t0) * 1000)
-        stats = (
-            flog_r.groupBy("host_bucket").agg(
-                F.sum(F.when(F.col("status") != "ROBOTS_DENIED", 1).otherwise(0))
-                .alias("urls_selected"),
-                F.sum(F.when(F.col("status") == "FETCHED", 1).otherwise(0))
-                .alias("urls_fetched"))
-            .join(
-                extracted_r.join(flog_r.select("url_hash", "host_bucket")
-                                 .withColumnRenamed("host_bucket", "hb"),
-                                 "url_hash")
-                .groupBy(F.col("hb").alias("host_bucket"))
-                .agg(F.count("*").alias("urls_extracted"),
-                     F.sum("n_links").alias("links_found")),
-                "host_bucket", "full")
-            .join(new_back.groupBy("host_bucket")
-                  .agg(F.count("*").alias("links_new")), "host_bucket", "full")
-            .select(
-                F.lit(r).alias("round"),
-                F.col("host_bucket").alias("partition_id"),
-                *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                  for c in ("urls_selected", "urls_fetched", "urls_extracted",
-                            "links_found", "links_new")],
-                F.lit(wall_ms).alias("wall_ms"))
-        )
-        self.metrics.append(stats, r)
-        fetched.unpersist()
+        counters = ("urls_selected", "urls_denied", "urls_fetched",
+                    "urls_extracted", "links_found", "links_new")
+        # four tiny per-bucket aggs over persisted/pruned DFs, merged
+        # driver-side (joining them Spark-side costs extra shuffles)
+        sel_rows = selected.groupBy("host_bucket").agg(
+            F.count("*").alias("urls_selected")).collect()
+        ext_rows = (ext_r.join(selected.select("url_hash", "host_bucket"),
+                               "url_hash")
+                    .groupBy("host_bucket").agg(
+                        F.count("*").alias("urls_fetched"),
+                        F.sum("n_links").alias("links_found")).collect())
+        den_rows = denied.groupBy("host_bucket").agg(
+            F.count("*").alias("urls_denied")).collect()
+        new_rows = new.groupBy("host_bucket").agg(
+            F.count("*").alias("links_new")).collect()
+        per_bucket: Dict[int, Dict[str, int]] = {}
+        for rows, keys in ((sel_rows, ("urls_selected",)),
+                           (ext_rows, ("urls_fetched", "links_found")),
+                           (den_rows, ("urls_denied",)),
+                           (new_rows, ("links_new",))):
+            for row in rows:
+                d = per_bucket.setdefault(int(row["host_bucket"]),
+                                          {c: 0 for c in counters})
+                for k in keys:
+                    d[k] = int(row[k] or 0)
+        for d in per_bucket.values():
+            d["urls_extracted"] = d["urls_fetched"]
+        stats_rows = [
+            {"round": r, "partition_id": b, **d, "wall_ms": wall_ms}
+            for b, d in sorted(per_bucket.items())
+        ]
+        self.metrics.append(
+            self.spark.createDataFrame(
+                [tuple(row[f.name] for f in METRICS.fields)
+                 for row in stats_rows], METRICS), r)
+        tp = mark("metrics", tp)
+        for df in (checked, selected, cands, new):
+            df.unpersist()
+        if probe_bc is not None:
+            probe_bc.destroy()
 
         self.round = r
         self._commit_checkpoint(r)
-        summary = (
-            self.metrics.read(spark).filter(F.col("round") == r)
-            .agg(*[F.sum(c).alias(c) for c in
-                   ("urls_selected", "urls_fetched", "urls_extracted",
-                    "links_found", "links_new")])
-            .collect()[0].asDict()
-        )
-        summary.update({"round": r, "wall_ms": wall_ms,
-                        "pending": pending_next.count()})
+        summary = {c: sum(row[c] for row in stats_rows) for c in counters}
+        self._pending_count += (summary["links_new"] - summary["urls_selected"]
+                                - summary["urls_denied"])
+        summary.update({"round": r, "wall_ms": int((time.time() - t0) * 1000),
+                        "pending": self._pending_count, "phase_ms": phases})
         return summary
 
     def run(self, max_rounds: int, stop_when_idle: bool = True) -> List[dict]:

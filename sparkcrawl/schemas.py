@@ -73,6 +73,7 @@ METRICS = T.StructType(
         T.StructField("round", T.IntegerType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("urls_selected", T.LongType(), False),
+        T.StructField("urls_denied", T.LongType(), False),
         T.StructField("urls_fetched", T.LongType(), False),
         T.StructField("urls_extracted", T.LongType(), False),
         T.StructField("links_found", T.LongType(), False),

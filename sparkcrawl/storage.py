@@ -74,7 +74,14 @@ class IcebergishTable:
         data_dir = os.path.join(self.path, "data", f"snap-{sid:06d}")
         writer = df.write.mode("overwrite")
         if self.partition_by:
-            writer = writer.partitionBy(self.partition_by)
+            # cluster rows by the partition column first: without this,
+            # partitionBy writes (tasks × buckets) tiny files and the
+            # commit-rename storm dominates the round (measured 10-30s on
+            # trivial data).  After repartition each bucket lands in one
+            # task → ≤1 file per bucket per snapshot.
+            from pyspark.sql import functions as F
+            df = df.repartition(F.col(self.partition_by))
+            writer = df.write.mode("overwrite").partitionBy(self.partition_by)
         writer.parquet(data_dir)
         return data_dir
 
