@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-aqe", action="store_true")
+    ap.add_argument("--tmpfs", action="store_true",
+                    help="state + shuffle on /dev/shm (isolates compute "
+                         "scaling from the sandbox's single shared disk)")
     args = ap.parse_args()
 
     cores = int(args.master.split("[")[1].rstrip("]").replace("*", "32"))
@@ -59,6 +62,8 @@ def main() -> None:
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "48g"))
+        .config("spark.local.dir",
+                "/dev/shm/spark_local" if args.tmpfs else "/tmp/spark_local")
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -84,7 +89,8 @@ def main() -> None:
     robots = spark.createDataFrame(corpus.robots_rows(), ROBOTS)
     seeds = [corpus.page_url(i) for i in range(args.seeds)]
 
-    workdir = args.workdir or f"/tmp/sparkcrawl_bench_wd_{cores}"
+    base = "/dev/shm" if args.tmpfs else "/tmp"
+    workdir = args.workdir or f"{base}/sparkcrawl_bench_wd_{cores}"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
 

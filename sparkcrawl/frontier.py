@@ -120,17 +120,17 @@ def fetch_and_husk(selected: DataFrame, pages: DataFrame,
     Join strategy (the scale-critical choice — the pages side carries the
     html payload, which must NEVER be shuffled):
 
-    * ``broadcast_selected=True``: two-part plan. Hits = broadcast-hash
-      inner join with the (politeness-bounded) selected set as build side
-      and the pages scan streamed map-side — zero shuffle of html.
-      Misses (dead links) = left-anti join of selected against the
-      url column only (column-pruned scan, shuffles urls, never html).
-      A single outer join can't do this: Spark cannot broadcast the
-      preserved side of an outer join and would fall back to shuffling
-      the full html through a sort-merge join.
-    * ``False``: plain left join — Catalyst/AQE picks the strategy; at
-      cluster scale pair it with a pages table bucketed by url so only
-      the selected side shuffles.
+    * ``broadcast_selected=True``: broadcast-hash INNER join with the
+      (politeness-bounded) selected set as build side and the pages scan
+      streamed map-side — zero shuffle of html, one pages scan, and
+      only hit rows cross the Arrow boundary.  Fetch misses (dead
+      links) are NOT in the output; the engine derives them as
+      selected ∖ extracted from the written table (a broadcast outer
+      join is impossible here: Spark cannot broadcast the preserved
+      side, and the fallback sort-merge join would shuffle the html).
+    * ``False``: plain left join (misses included as null-html rows) —
+      Catalyst/AQE picks the strategy; at cluster scale pair it with a
+      pages table bucketed by url so only the selected side shuffles.
 
     The real-web deployment path swaps this join for an async-HTTP
     ``mapInPandas`` with the same output schema.
@@ -141,15 +141,8 @@ def fetch_and_husk(selected: DataFrame, pages: DataFrame,
         F.col("lang").alias("lang"),
     )
     if broadcast_selected:
-        hit = pg.join(F.broadcast(selected),
-                      selected["url_canon"] == pg["_page_url"], "inner")
-        miss = selected.join(
-            pg.select("_page_url"),
-            selected["url_canon"] == F.col("_page_url"), "left_anti")
-        joined = hit.unionByName(
-            miss.withColumn("_page_url", F.lit(None).cast("string"))
-            .withColumn("_html", F.lit(None).cast("binary"))
-            .withColumn("lang", F.lit(None).cast("string")))
+        joined = pg.join(F.broadcast(selected),
+                         selected["url_canon"] == pg["_page_url"], "inner")
     else:
         joined = selected.join(
             pg, selected["url_canon"] == pg["_page_url"], "left")

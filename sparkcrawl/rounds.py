@@ -19,6 +19,7 @@ import json
 import os
 import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 from functools import reduce
 from typing import Dict, List, Optional
 
@@ -235,58 +236,74 @@ class CrawlEngine:
                 F.lit(r).alias("round"),
                 F.lit("ROBOTS_DENIED").alias("status")))
         )
-        self.fetchlog.append(flog, r)
-        tp = mark("fetchlog_write", tp)
-
-        # discover → dedupe (bloom fast-path + exact anti-join) → append
+        # discover → dedupe (bloom fast-path + exact anti-join)
         frontier_all = self.frontier.read(spark)
         cands = discover_links(ext_r, r, self.n_buckets).persist()
         probe_bc = spark.sparkContext.broadcast(self._blobs) if self._blobs else None
         new = probe_seen(cands, frontier_all, probe_bc, spark).persist()
-        self.frontier.append(new, r)
-        tp = mark("discover_frontier_write", tp)
 
-        # next pending = allowed − selected ∪ new (selected is small →
-        # broadcast anti-join; no shuffle of the pending side)
-        pending_next = (
-            allowed.join(F.broadcast(selected.select("url_hash")),
-                         "url_hash", "left_anti")
-            .unionByName(new)
-        )
-        self.pending.replace(pending_next, r)
-        tp = mark("pending_write", tp)
+        # Independent jobs run concurrently from driver threads (Spark's
+        # scheduler is thread-safe; the targets are distinct tables) —
+        # a round's wall is the max of each wave, not the sum.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            wave1 = [pool.submit(self.fetchlog.append, flog, r),
+                     pool.submit(self.frontier.append, new, r)]
+            for f in wave1:
+                f.result()
+            tp = mark("flog_discover_frontier", tp)
 
-        # A4 seen-set extension + A19 metrics, all from persisted DFs.
-        self._update_blooms(new, r)
-        tp = mark("blooms", tp)
+            # next pending = allowed − selected ∪ new (selected is small →
+            # broadcast anti-join; no shuffle of the pending side)
+            pending_next = (
+                allowed.join(F.broadcast(selected.select("url_hash")),
+                             "url_hash", "left_anti")
+                .unionByName(new)
+            )
+            counters = ("urls_selected", "urls_denied", "urls_fetched",
+                        "urls_extracted", "links_found", "links_new")
+
+            def collect_stats():
+                # one union-agg job instead of four separate collects
+                hb = F.col("host_bucket")
+                ext_j = ext_r.join(selected.select("url_hash", "host_bucket"),
+                                   "url_hash")
+                u = (selected.select(hb, F.lit("sel").alias("t"),
+                                     F.lit(1).cast("long").alias("v"))
+                     .unionByName(denied.select(
+                         hb, F.lit("den").alias("t"),
+                         F.lit(1).cast("long").alias("v")))
+                     .unionByName(new.select(
+                         hb, F.lit("new").alias("t"),
+                         F.lit(1).cast("long").alias("v")))
+                     .unionByName(ext_j.select(
+                         hb, F.lit("ext").alias("t"),
+                         F.lit(1).cast("long").alias("v")))
+                     .unionByName(ext_j.select(
+                         hb, F.lit("lnk").alias("t"),
+                         F.col("n_links").cast("long").alias("v"))))
+                tagged = {"sel": "urls_selected", "den": "urls_denied",
+                          "ext": "urls_fetched", "lnk": "links_found",
+                          "new": "links_new"}
+                return u.groupBy("host_bucket").agg(
+                    *[F.sum(F.when(F.col("t") == tag, F.col("v"))
+                            .otherwise(0)).alias(col)
+                      for tag, col in tagged.items()]).collect()
+
+            wave2 = [pool.submit(self.pending.replace, pending_next, r),
+                     pool.submit(self._update_blooms, new, r),
+                     pool.submit(collect_stats)]
+            wave2[0].result()
+            wave2[1].result()
+            agg_rows = wave2[2].result()
+            tp = mark("pending_blooms_stats", tp)
+
         wall_ms = int((time.time() - t0) * 1000)
-        counters = ("urls_selected", "urls_denied", "urls_fetched",
-                    "urls_extracted", "links_found", "links_new")
-        # four tiny per-bucket aggs over persisted/pruned DFs, merged
-        # driver-side (joining them Spark-side costs extra shuffles)
-        sel_rows = selected.groupBy("host_bucket").agg(
-            F.count("*").alias("urls_selected")).collect()
-        ext_rows = (ext_r.join(selected.select("url_hash", "host_bucket"),
-                               "url_hash")
-                    .groupBy("host_bucket").agg(
-                        F.count("*").alias("urls_fetched"),
-                        F.sum("n_links").alias("links_found")).collect())
-        den_rows = denied.groupBy("host_bucket").agg(
-            F.count("*").alias("urls_denied")).collect()
-        new_rows = new.groupBy("host_bucket").agg(
-            F.count("*").alias("links_new")).collect()
         per_bucket: Dict[int, Dict[str, int]] = {}
-        for rows, keys in ((sel_rows, ("urls_selected",)),
-                           (ext_rows, ("urls_fetched", "links_found")),
-                           (den_rows, ("urls_denied",)),
-                           (new_rows, ("links_new",))):
-            for row in rows:
-                d = per_bucket.setdefault(int(row["host_bucket"]),
-                                          {c: 0 for c in counters})
-                for k in keys:
-                    d[k] = int(row[k] or 0)
-        for d in per_bucket.values():
+        for row in agg_rows:
+            d = {c: int(row[c] or 0) for c in counters
+                 if c != "urls_extracted"}
             d["urls_extracted"] = d["urls_fetched"]
+            per_bucket[int(row["host_bucket"])] = d
         stats_rows = [
             {"round": r, "partition_id": b, **d, "wall_ms": wall_ms}
             for b, d in sorted(per_bucket.items())
