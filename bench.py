@@ -1,0 +1,121 @@
+"""Driver-contract bench: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a fixed-size crawl
+round over a synthetic page corpus.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+plus supplementary keys (urls_per_sec, rows). All logs go to stderr.
+
+The two-parallelism scaling evidence (BASELINE.md) is produced separately
+by bench/crawl_bench.py at two masters — see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries: one per operator family (SURVEY §2.B) + the
+# training-data ops that matter at 100 TB
+HEADLINE = [
+    "agg_pricing_summary",     # TPC-H Q1 shape: scan-heavy agg
+    "join_inner",              # large equi join
+    "join_asof",               # as-of (range + window top-1)
+    "window_rank_topk",        # per-group top-k (politeness pattern)
+    "agg_rollup",              # multi-level agg
+    "dedup_exact",             # content-hash dedup
+    "dedup_minhash_lsh_pairs", # shingle→minhash→band→self-join
+    "dedup_simhash",           # bit-vote simhash
+    "ann_bruteforce_topk",     # embedding cosine top-k
+    "text_token_counts",       # regex tokenization
+    "text_quality_score",      # string-builtin quality signals
+    "crawl_extract_text",      # Arrow-UDF husk path
+    "crawl_topk_per_host",     # salted politeness window
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sparkcrawl-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * int(CPUS), 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_BENCH_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparkcrawl.registry import QUERIES, load_all
+    load_all()
+
+    sf_label = SF_DIR.rstrip("/").split("/")[-1]
+    timings: dict = {}
+    rows: dict = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            n = fn(spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+            rows[name] = n
+            log(f"{name}: {n} rows in {timings[name]}s")
+        except Exception as ex:  # a failing query must not kill the bench
+            timings[name] = -1.0
+            rows[name] = -1
+            log(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
+
+    # fixed-size crawl throughput probe (20k pages, 3 rounds)
+    from sparkcrawl import corpus
+    from sparkcrawl.rounds import CrawlEngine
+    from sparkcrawl.schemas import ROBOTS
+
+    wd = "/tmp/sparkcrawl_bench_entry"
+    shutil.rmtree(wd, ignore_errors=True)
+    os.makedirs(wd)
+    t0 = time.time()
+    eng = CrawlEngine(
+        spark, wd,
+        pages=corpus.pages_df(spark, 20000, fat=20),
+        robots=spark.createDataFrame(corpus.robots_rows(), ROBOTS),
+        budget_per_host=8000, n_buckets=16, salt_buckets=8)
+    eng.init([corpus.page_url(i) for i in range(4000)])
+    summaries = eng.run(3, stop_when_idle=True)
+    crawl_secs = round(time.time() - t0, 3)
+    extracted = sum(s["urls_extracted"] for s in summaries)
+    timings["crawl_3rounds_20k"] = crawl_secs
+    log(f"crawl: {extracted} pages in {crawl_secs}s")
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_label,
+        "rows": rows,
+        "crawl_urls_extracted": extracted,
+        "crawl_urls_per_sec": round(extracted / crawl_secs, 1),
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

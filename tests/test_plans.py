@@ -1,0 +1,89 @@
+"""Physical-plan audits (.explain discipline, SURVEY §4): the optimizations
+the engine relies on must actually be in the plan — predicate pushdown,
+column pruning, broadcast joins, no payload shuffles, salted windows,
+partial aggregation, whole-stage codegen."""
+
+from pyspark.sql import functions as F
+
+from sparkcrawl import corpus
+from sparkcrawl.frontier import (fetch_and_husk, seeds_to_frontier,
+                                 select_topk_per_host)
+from sparkcrawl.registry import QUERIES, load_all
+
+load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, run: bool = False) -> str:
+    qe = df._jdf.queryExecution()
+    if run:  # AQE plans are shallow until executed (isFinalPlan=false);
+        # execute THIS QueryExecution (df.count() would make a new one)
+        qe.executedPlan().executeCollect()
+    return qe.executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .filter(F.col("l_quantity") > 45)
+          .select("l_orderkey"))
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_orderkey" in read_schema
+
+
+def test_broadcast_join_in_dim_query(spark):
+    plan = plan_of(QUERIES["join_broadcast_dim"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fetch_join_never_shuffles_html(spark):
+    """The scale-critical invariant: the html payload stays map-side."""
+    pages = corpus.pages_df(spark, 200)
+    seeds = seeds_to_frontier(spark, [corpus.page_url(i) for i in range(20)], 8)
+    selected = select_topk_per_host(seeds, 5, 4)
+    plan = plan_of(fetch_and_husk(selected, pages, broadcast_selected=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # any exchange in the plan must be on the selected side (pre-window),
+    # never carrying the html column
+    for chunk in plan.split("Exchange")[1:]:
+        assert "_html" not in chunk.split("+-")[0]
+
+
+def test_salted_topk_has_two_windows(spark):
+    seeds = seeds_to_frontier(spark, [corpus.page_url(i) for i in range(30)], 8)
+    plan = plan_of(select_topk_per_host(seeds, 5, salt_buckets=4))
+    # phase 1 (host, salt) + phase 2 (host)
+    assert plan.count("+- Window ") >= 2
+    unsalted = plan_of(select_topk_per_host(seeds, 5, salt_buckets=None))
+    assert unsalted.count("+- Window ") == 1
+    # Spark 4 additionally prunes rank<=k map-side before the shuffle
+    # (WindowGroupLimit Partial) — the builtin complement to A9 salting
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_partial_aggregation(spark):
+    plan = plan_of(QUERIES["agg_pricing_summary"](spark, SF))
+    # partial (map-side) + final HashAggregate around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen(spark):
+    plan = plan_of(QUERIES["agg_pricing_summary"](spark, SF), run=True)
+    # '*(n)' markers = whole-stage-codegen stage ids in executed plans
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_ann_broadcasts_queries(spark):
+    plan = plan_of(QUERIES["ann_bruteforce_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_minhash_partial_min_before_shuffle(spark):
+    plan = plan_of(QUERIES["dedup_minhash_signatures"](spark, SF), run=True)
+    # min over strings plans as SortAggregate; either way partial+final
+    assert plan.count("Aggregate") >= 2
