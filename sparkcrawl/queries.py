@@ -208,10 +208,13 @@ def join_semi(spark, sf):
 
 @q("join_anti", """
 SELECT c_custkey FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 """)
 def join_anti(spark, sf):
-    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    """left_anti — the A5 seen-set dedupe primitive."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = t(spark, sf, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -233,40 +236,45 @@ def join_broadcast_dim(spark, sf):
 
 
 @q("join_range_theta", """
-SELECT o_orderkey, COUNT(*) AS n_events
-FROM orders JOIN events
-  ON user_id = o_custkey
- AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
-GROUP BY o_orderkey
+SELECT a.event_id, COUNT(*) AS n_following
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.event_id
 """)
 def join_range_theta(spark, sf):
-    """Equi key + range predicate (events within 7 days of the order)."""
-    o, e = t(spark, sf, "orders"), t(spark, sf, "events")
-    cond = ((e.user_id == o.o_custkey)
-            & (e.ts >= o.o_orderdate)
-            & (e.ts < F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")))
-    return o.join(e, cond).groupBy("o_orderkey").agg(F.count("*").alias("n_events"))
+    """Equi key + range predicate: same-user events within the hour after
+    each event (non-equi self-join)."""
+    e = t(spark, sf, "events")
+    a = e.select(F.col("event_id"), F.col("user_id").alias("ua"),
+                 F.col("ts").alias("ta"))
+    b = e.select(F.col("user_id").alias("ub"), F.col("ts").alias("tb"))
+    cond = ((a.ua == b.ub) & (b.tb > a.ta)
+            & (b.tb <= F.col("ta") + F.expr("INTERVAL 1 HOUR")))
+    return a.join(b, cond).groupBy("event_id") \
+        .agg(F.count("*").alias("n_following"))
 
 
 @q("join_asof", """
-SELECT o_orderkey, ts AS last_event_ts FROM (
-  SELECT o_orderkey, e.ts,
-         ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
-  FROM orders JOIN events e
-    ON e.user_id = o_custkey AND e.ts <= o_orderdate
+SELECT event_id, o_orderkey AS last_order FROM (
+  SELECT event_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
 ) WHERE rn = 1
 """)
 def join_asof(spark, sf):
-    """As-of join (latest event ≤ order date per order) — Spark has no
-    builtin ASOF; expressed as range join + windowed top-1 (SURVEY §2.B)."""
+    """As-of join (most recent order ≤ each event's time, per user) —
+    Spark has no builtin ASOF; expressed as range join + windowed top-1
+    (SURVEY §2.B)."""
     o, e = t(spark, sf, "orders"), t(spark, sf, "events")
-    joined = o.join(e, (e.user_id == o.o_custkey) & (e.ts <= o.o_orderdate))
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(),
-                                                 F.col("event_id").desc())
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
+                                               F.col("o_orderkey").desc())
     return (joined.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("o_orderkey", F.col("ts").alias("last_event_ts")))
+            .select("event_id", F.col("o_orderkey").alias("last_order")))
 
 
 @q("join_cross", """
