@@ -220,3 +220,37 @@ def crawl_seen_bloom_probe(spark, sf):
             yield pd.DataFrame({"doc_id": b["doc_id"], "maybe_seen": out})
 
     return d.mapInPandas(probe, "doc_id long, maybe_seen boolean")
+
+
+@q("husker_scrape_fields", """
+SELECT doc_id,
+       TRIM(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS lead_text,
+       'http://docs' || ((doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)) % 10
+         || '.example/d/' || (doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)
+         AS first_href,
+       CAST(1 + doc_id % 3 AS INT) AS n_anchors
+FROM documents
+""")
+def husker_scrape_fields(spark, sf):
+    """§2.C — a user scrape rule written against the Husker selection API
+    (one/first/any + .text/.attrib), run vectorized inside mapInPandas:
+    the reference's Scraper.parse(page) shape on the distributed path."""
+    from .husker import parse as husker_parse
+
+    pages = _doc_pages(spark, sf)
+
+    def scrape(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            leads, hrefs, counts = [], [], []
+            for html in b["html"]:
+                doc = husker_parse(bytes(html))
+                leads.append(doc.one("p").text)
+                anchors = doc.any("a[href]")
+                hrefs.append(anchors[0].attrib("href") if anchors else None)
+                counts.append(len(anchors))
+            yield pd.DataFrame({"doc_id": b["doc_id"], "lead_text": leads,
+                                "first_href": hrefs, "n_anchors": counts})
+
+    schema = ("doc_id long, lead_text string, first_href string, "
+              "n_anchors int")
+    return pages.mapInPandas(scrape, schema)

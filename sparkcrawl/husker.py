@@ -1,0 +1,235 @@
+"""§2.C — the Husker selection API, re-expressed as pure functions.
+
+The reference's user-facing query surface is a lazy selector tree over a
+parsed document (expected: alcazar/husker/*.py — unverified, reference
+absent): selection ops ``one/some/all/any/first/last``, value ops
+``.text/.attrib``, regex sub-selection, and mismatch errors
+(HuskerMismatch, HuskerNotUnique).
+
+Here the same API exists as a lightweight, stdlib-only DOM + selector
+layer meant to run INSIDE vectorized UDFs (never as a distributed
+structure): a page-parse returns a ``Husker`` and field extraction is
+plain Python, so user scrape rules written against this API drop into
+``mapInPandas``/``pandas_udf`` bodies unchanged.  Errors never cross the
+UDF boundary — engine callers map them to status=ERROR rows.
+
+Selector syntax (frozen spec, CSS-ish subset):
+  ``tag``, ``.cls``, ``#id``, ``tag.cls``, ``tag[attr]``,
+  ``tag[attr=value]``, and descendant chaining with spaces
+  (``div a[href]``).  ``*`` matches any tag.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional
+
+from .extract import BLOCK_TAGS, _MUTED_TAGS, _SELF_BREAK, clean_text, decode_html
+
+
+class HuskerError(Exception):
+    pass
+
+
+class HuskerMismatch(HuskerError):
+    """Expected ≥1 match; found none."""
+
+
+class HuskerNotUnique(HuskerError):
+    """Expected exactly one match; found several."""
+
+
+_VOID_TAGS = frozenset("""area base br col embed hr img input link meta
+    param source track wbr""".split())
+
+_SEL_PART = re.compile(
+    r"^(?P<tag>[a-zA-Z0-9*]+)?"
+    r"(?:\.(?P<cls>[\w\-]+))?"
+    r"(?:#(?P<id>[\w\-]+))?"
+    r"(?:\[(?P<attr>[\w\-]+)(?:=(?P<val>[^\]]*))?\])?$"
+)
+
+
+class Element:
+    """One DOM node (tolerant tree built by _TreeBuilder)."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict) -> None:
+        self.tag = tag
+        self.attrs = attrs
+        self.children: List = []  # Element | str
+
+    # -- text (same frozen spec as extract.py, scoped to this subtree) --
+    def _chunks(self, out: List[str]) -> None:
+        if self.tag in _MUTED_TAGS:
+            return
+        block = self.tag in BLOCK_TAGS
+        if block or self.tag in _SELF_BREAK:
+            out.append("\n")
+        for c in self.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                c._chunks(out)
+        if block:
+            out.append("\n")
+
+    @property
+    def raw_text(self) -> str:
+        out: List[str] = []
+        self._chunks(out)
+        return "".join(out)
+
+    @property
+    def text(self) -> str:
+        return clean_text(self.raw_text)
+
+    def iter(self) -> Iterator["Element"]:
+        yield self
+        for c in self.children:
+            if isinstance(c, Element):
+                yield from c.iter()
+
+    def __getitem__(self, name: str) -> str:
+        return self.attrs[name]
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        el = Element(tag, dict(attrs))
+        self.stack[-1].children.append(el)
+        if tag not in _VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Element(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # tolerant close: pop to the nearest matching open tag, else ignore
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def _match(el: Element, part: str) -> bool:
+    m = _SEL_PART.match(part)
+    if not m:
+        return False
+    g = m.groupdict()
+    if g["tag"] and g["tag"] != "*" and el.tag != g["tag"]:
+        return False
+    if g["cls"] and g["cls"] not in (el.attrs.get("class") or "").split():
+        return False
+    if g["id"] and el.attrs.get("id") != g["id"]:
+        return False
+    if g["attr"]:
+        if g["attr"] not in el.attrs:
+            return False
+        if g["val"] is not None and el.attrs.get(g["attr"]) != g["val"]:
+            return False
+    return True
+
+
+def _select(root: Element, selector: str) -> List[Element]:
+    parts = selector.split()
+    current = [root]
+    for part in parts:
+        nxt: List[Element] = []
+        seen = set()
+        for base in current:
+            for el in base.iter():
+                if el is base:
+                    continue
+                if _match(el, part) and id(el) not in seen:
+                    seen.add(id(el))
+                    nxt.append(el)
+        current = nxt
+    return current
+
+
+class Husker:
+    """Selector handle over a parsed document or element list."""
+
+    def __init__(self, element: Element) -> None:
+        self._el = element
+
+    # -- selection ops (reference semantics per SURVEY §2.C) --------------
+    def all(self, selector: str) -> List["Husker"]:
+        """≥1 matches else HuskerMismatch."""
+        found = _select(self._el, selector)
+        if not found:
+            raise HuskerMismatch(f"no match for {selector!r}")
+        return [Husker(e) for e in found]
+
+    def any(self, selector: str) -> List["Husker"]:
+        """≥0 matches."""
+        return [Husker(e) for e in _select(self._el, selector)]
+
+    def one(self, selector: str) -> "Husker":
+        """Exactly one match else HuskerMismatch/HuskerNotUnique."""
+        found = _select(self._el, selector)
+        if not found:
+            raise HuskerMismatch(f"no match for {selector!r}")
+        if len(found) > 1:
+            raise HuskerNotUnique(f"{len(found)} matches for {selector!r}")
+        return Husker(found[0])
+
+    def some(self, selector: str) -> Optional["Husker"]:
+        """One or None; >1 is HuskerNotUnique."""
+        found = _select(self._el, selector)
+        if len(found) > 1:
+            raise HuskerNotUnique(f"{len(found)} matches for {selector!r}")
+        return Husker(found[0]) if found else None
+
+    def first(self, selector: str) -> "Husker":
+        return self.all(selector)[0]
+
+    def last(self, selector: str) -> "Husker":
+        return self.all(selector)[-1]
+
+    # -- value ops ---------------------------------------------------------
+    @property
+    def text(self) -> str:
+        return self._el.text
+
+    @property
+    def raw_text(self) -> str:
+        return self._el.raw_text
+
+    def attrib(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        return self._el.attrs.get(name, default)
+
+    def __getitem__(self, name: str) -> str:
+        return self._el[name]
+
+    def sub(self, pattern: str, group: int = 0) -> Optional[str]:
+        """Regex sub-selection over the cleaned text."""
+        m = re.search(pattern, self.text)
+        return m.group(group) if m else None
+
+    @property
+    def tag(self) -> str:
+        return self._el.tag
+
+
+def parse(html) -> Husker:
+    """bytes|str → document Husker (never raises on malformed input)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(decode_html(html))
+        builder.close()
+    except Exception:
+        pass
+    return Husker(builder.root)
