@@ -654,3 +654,71 @@ def explode_words(spark, sf):
     p = t(spark, sf, "part")
     return (p.select(F.explode(F.split("p_name", " ")).alias("w"))
             .groupBy("w").agg(F.count("*").alias("n")))
+
+
+@q("pivot_segments", """
+SELECT c_nationkey,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS automobile,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS building,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS machinery
+FROM customer GROUP BY c_nationkey
+""")
+def pivot_segments(spark, sf):
+    """Pivot (wide aggregation) with an explicit value list — the
+    fixed-column form is what survives at scale (no driver-side distinct
+    pass to discover pivot values)."""
+    c = t(spark, sf, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(F.count(F.lit(1)))
+        .select("c_nationkey",
+                F.coalesce("AUTOMOBILE", F.lit(0)).alias("automobile"),
+                F.coalesce("BUILDING", F.lit(0)).alias("building"),
+                F.coalesce("MACHINERY", F.lit(0)).alias("machinery"))
+    )
+
+
+@q("percentile_prices", """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderpriority
+""")
+def percentile_prices(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont); the approximate t-digest path is
+    agg_approx_count_distinct's HLL analog and stays engine-specific."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
+
+
+@q("icebergish_time_travel")  # snapshot pinning is engine-side → rows-only
+def icebergish_time_travel(spark, sf):
+    """Icebergish scans with snapshot pinning (SURVEY §2.B scans row):
+    three commits (append/append/replace) against a scratch table, read
+    back AS OF each snapshot — returns (snapshot_id, mode, n_rows)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .storage import IcebergishTable
+
+    path = tempfile.mkdtemp(prefix="icebergish_demo_")
+    try:
+        schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("host_bucket", T.IntegerType())])
+        tbl = IcebergishTable(path, schema, partition_by="host_bucket")
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("host_bucket"))
+        s0 = tbl.append(mk(0, 100), 1)
+        s1 = tbl.append(mk(100, 250), 2)
+        s2 = tbl.replace(mk(0, 40), 3)
+        rows = [(int(s), m, tbl.read(spark, snapshot_id=s).count())
+                for s, m in ((s0, "append"), (s1, "append"), (s2, "replace"))]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "snapshot_id long, mode string, n_rows long")
