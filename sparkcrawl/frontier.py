@@ -195,7 +195,8 @@ def discover_links(extracted: DataFrame, round_no: int, n_buckets: int) -> DataF
 
 
 def probe_seen(candidates: DataFrame, frontier: DataFrame,
-               bloom_blobs, spark: SparkSession) -> DataFrame:
+               bloom_blobs, spark: SparkSession,
+               contains_fn=None) -> DataFrame:
     """A5 dedupe, exact-with-Bloom-fast-path (SURVEY §2.A A5):
 
     * Bloom NEGATIVE ⇒ definitely unseen ⇒ admitted with NO join.
@@ -215,6 +216,8 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
     from pyspark import Broadcast
     bc = (bloom_blobs if isinstance(bloom_blobs, Broadcast)
           else spark.sparkContext.broadcast(bloom_blobs))
+    if contains_fn is None:
+        contains_fn = bloom_mod.contains_many
 
     def maybe_seen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         blobs = bc.value
@@ -224,7 +227,7 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
             for bucket, grp in batch.groupby("host_bucket"):
                 blob = blobs.get(int(bucket))
                 if blob is not None:
-                    flags.loc[grp.index] = bloom_mod.contains_many(
+                    flags.loc[grp.index] = contains_fn(
                         blob, grp["url_hash"].to_numpy())
             out["maybe_seen"] = flags
             yield out

@@ -48,6 +48,7 @@ class CrawlEngine:
         bloom_capacity_per_bucket: int = 1 << 17,
         bloom_fpp: float = 0.01,
         fetch_broadcast: bool = True,
+        seen_filter: str = "bloom",
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -59,6 +60,17 @@ class CrawlEngine:
         self.bloom_capacity = bloom_capacity_per_bucket
         self.bloom_fpp = bloom_fpp
         self.fetch_broadcast = fetch_broadcast
+        # A4 backend: per-partition Bloom (default) or Cuckoo filters —
+        # the north rule names both; cuckoo adds deletion (re-crawl) and
+        # better space below ~3% fpp at the 10^10-URL design point.
+        if seen_filter == "cuckoo":
+            from . import cuckoo as _filter_mod
+        elif seen_filter == "bloom":
+            _filter_mod = bloom_mod
+        else:
+            raise ValueError(f"unknown seen_filter {seen_filter!r}")
+        self.seen_filter = seen_filter
+        self._filter = _filter_mod
         self._pending_count = 0
 
         j = lambda name: os.path.join(workdir, name)  # noqa: E731
@@ -143,9 +155,11 @@ class CrawlEngine:
         round's blobs — a two-level tree aggregation — and checkpointed."""
         cap, fpp = self.bloom_capacity, self.bloom_fpp
 
+        fmod = self._filter
+
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            blob = bloom_mod.add_many(bloom_mod.create(cap, fpp),
-                                      pdf["url_hash"].to_numpy())
+            blob = fmod.add_many(fmod.create(cap, fpp),
+                                 pdf["url_hash"].to_numpy())
             return pd.DataFrame({
                 "partition_id": [int(pdf["host_bucket"].iloc[0])],
                 "round": [round_no],
@@ -162,9 +176,9 @@ class CrawlEngine:
         for row in deltas:
             bucket, blob = row["partition_id"], bytes(row["bloom"])
             prev = self._blobs.get(bucket)
-            self._blobs[bucket] = blob if prev is None else bloom_mod.merge(prev, blob)
+            self._blobs[bucket] = blob if prev is None else fmod.merge(prev, blob)
         rows = [
-            (b, round_no, blob, bloom_mod.n_items(blob), fpp)
+            (b, round_no, blob, fmod.n_items(blob), fpp)
             for b, blob in sorted(self._blobs.items())
         ]
         df = self.spark.createDataFrame(rows, SEEN_SET) if rows else \
@@ -174,7 +188,7 @@ class CrawlEngine:
     def global_bloom(self) -> Optional[bytes]:
         """Tree-merge of all per-partition blobs (checkpoint-stats view)."""
         blobs = list(self._blobs.values())
-        return reduce(bloom_mod.merge, blobs) if blobs else None
+        return reduce(self._filter.merge, blobs) if blobs else None
 
     # ------------------------------------------------------------------ round
     def run_round(self) -> dict:
@@ -240,7 +254,8 @@ class CrawlEngine:
         frontier_all = self.frontier.read(spark)
         cands = discover_links(ext_r, r, self.n_buckets).persist()
         probe_bc = spark.sparkContext.broadcast(self._blobs) if self._blobs else None
-        new = probe_seen(cands, frontier_all, probe_bc, spark).persist()
+        new = probe_seen(cands, frontier_all, probe_bc, spark,
+                         contains_fn=self._filter.contains_many).persist()
 
         # Independent jobs run concurrently from driver threads (Spark's
         # scheduler is thread-safe; the targets are distinct tables) —

@@ -146,6 +146,29 @@ class IcebergishTable:
         # partition column comes back from dir names; keep declared order
         return self.schema
 
+    def compact(self, spark: SparkSession, round_no: int) -> int:
+        """Rewrite the current table contents as ONE snapshot (the Iceberg
+        `rewrite_data_files` maintenance action): append-heavy tables
+        accumulate a data dir per commit, and although reads stay correct,
+        file-listing and task counts grow linearly with history.  Old
+        snapshots remain readable (time travel) until GC'd."""
+        current = self.read(spark)
+        return self.replace(current, round_no)
+
+    def gc_unreachable(self, keep_snapshot_id: int) -> int:
+        """Delete data dirs not reachable from *keep_snapshot_id*'s
+        manifest (expire-snapshots).  Returns number of dirs removed.
+        Only safe after a checkpoint pinning keep_snapshot_id."""
+        keep = set(self.manifest_for(keep_snapshot_id)["data_dirs"])
+        removed = 0
+        data_root = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed
+
     def truncate(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
         os.makedirs(os.path.join(self.path, "manifests"), exist_ok=True)

@@ -72,3 +72,26 @@ def test_partition_pruning_in_plan(spark, table):
     plan = table.read(spark).filter(F.col("host_bucket") == 2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "host_bucket" in plan
+
+
+def test_compact_preserves_content(spark, table):
+    table.append(_df(spark, 0, 10), 1)
+    table.append(_df(spark, 10, 30), 2)
+    before = sorted(r["k"] for r in table.read(spark).collect())
+    sid = table.compact(spark, round_no=3)
+    manifest = table.current_manifest()
+    assert manifest["snapshot_id"] == sid
+    assert len(manifest["data_dirs"]) == 1
+    assert sorted(r["k"] for r in table.read(spark).collect()) == before
+
+
+def test_gc_unreachable(spark, table):
+    import os
+    table.append(_df(spark, 0, 10), 1)
+    table.append(_df(spark, 10, 30), 2)
+    sid = table.compact(spark, 3)
+    removed = table.gc_unreachable(sid)
+    assert removed == 2
+    data_root = os.path.join(table.path, "data")
+    assert len(os.listdir(data_root)) == 1
+    assert table.read(spark).count() == 30
