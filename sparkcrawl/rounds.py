@@ -49,6 +49,7 @@ class CrawlEngine:
         bloom_fpp: float = 0.01,
         fetch_broadcast: bool = True,
         seen_filter: str = "bloom",
+        compact_every: int = 0,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -71,6 +72,11 @@ class CrawlEngine:
             raise ValueError(f"unknown seen_filter {seen_filter!r}")
         self.seen_filter = seen_filter
         self._filter = _filter_mod
+        # rewrite the append-only frontier as one snapshot every K rounds
+        # (file count and scan task count otherwise grow with history);
+        # 0 disables.  Runs before the checkpoint so resume pins the
+        # compacted snapshot.
+        self.compact_every = compact_every
         self._pending_count = 0
 
         j = lambda name: os.path.join(workdir, name)  # noqa: E731
@@ -333,6 +339,8 @@ class CrawlEngine:
         if probe_bc is not None:
             probe_bc.destroy()
 
+        if self.compact_every and r % self.compact_every == 0:
+            self.frontier.compact(spark, r)
         self.round = r
         self._commit_checkpoint(r)
         summary = {c: sum(row[c] for row in stats_rows) for c in counters}
