@@ -43,9 +43,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The round-1 driver evaluated exactly the FIRST 50 queries in dict order
+# (CORRECTNESS_r01 = registry positions 0..49), so ordering is coverage
+# policy: queries with no driver-level evidence yet go first, rotating
+# per round until every operator has a green CORRECTNESS row.
+# r01 verified the 50 relational+crawl ops; r2 therefore leads with the
+# 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
+# additions, then the crawl ops, then relational.
+_PRIORITY = [
+    # -- no driver evidence before r2: textops --
+    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "text_token_counts", "text_quality_score", "text_lang_id",
+    "text_fingerprint_winnow",
+    "multimodal_decode_meta", "multimodal_features",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -53,4 +76,4 @@ def oracle_sql() -> dict[str, str]:
     without an entry here are genuinely non-SQL-expressible (bloom bit
     math, LSH hyperplane constants, HLL estimates, numpy features) and
     get the driver's rows-only check."""
-    return dict(ORACLES)
+    return _ordered(dict(ORACLES))

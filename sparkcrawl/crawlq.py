@@ -32,10 +32,17 @@ _husk_udf = F.pandas_udf(husk_frame, _HUSK_SCHEMA)
 _robots_udf = F.pandas_udf(allowed_series, T.BooleanType())
 
 
+_DOC_COUNTS: dict = {}
+
+
 def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → pages(url, html) via the deterministic renderer."""
     d = t(spark, sf_dir, "documents")
-    n = d.count()
+    # the renderer needs |documents| (link-target modulus); cache it per
+    # sf_dir so repeated query invocations don't pay an extra count job
+    n = _DOC_COUNTS.get(sf_dir)
+    if n is None:
+        n = _DOC_COUNTS[sf_dir] = d.count()
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -72,9 +79,9 @@ WITH links AS (
   FROM (""" + _TARGETS_SQL + """)
   GROUP BY doc_id)
 SELECT d.doc_id,
-       CASE WHEN TRIM(regexp_replace(d.text, '\\s+', ' ', 'g')) = ''
+       CASE WHEN TRIM(regexp_replace(COALESCE(d.text, ''), '\\s+', ' ', 'g')) = ''
             THEN l.line2
-            ELSE TRIM(regexp_replace(d.text, '\\s+', ' ', 'g'))
+            ELSE TRIM(regexp_replace(COALESCE(d.text, ''), '\\s+', ' ', 'g'))
                  || chr(10) || l.line2 END AS extracted,
        1 + d.doc_id % 3 AS n_links
 FROM documents d JOIN links l USING (doc_id)

@@ -57,8 +57,18 @@ def with_canon(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFrame
 def seeds_to_frontier(spark: SparkSession, seed_urls, n_buckets: int) -> DataFrame:
     """A1: seed list → frontier rows (depth 0, round 0, PENDING)."""
     seeds = spark.createDataFrame([(u, 0.0) for u in seed_urls], SEEDS)
+    canon = with_canon(seeds.drop("priority"), n_buckets)
+    # seed lists may themselves contain canonical duplicates; the
+    # surviving raw-url row must be DETERMINISTIC (min url), matching the
+    # min-struct rule discover_links uses — dropDuplicates would keep an
+    # arbitrary partition-order survivor.
+    deduped = (
+        canon.groupBy("url_hash")
+        .agg(F.min(F.struct("url_canon", "url", "host", "host_bucket")).alias("u"))
+        .select("url_hash", "u.url", "u.url_canon", "u.host", "u.host_bucket")
+    )
     return (
-        with_canon(seeds.drop("priority"), n_buckets)
+        deduped
         .withColumn("depth", F.lit(0))
         .withColumn("seed_distance", F.lit(0))
         .withColumn("priority", priority_expr(F.col("depth"), F.col("seed_distance")))
@@ -66,8 +76,6 @@ def seeds_to_frontier(spark: SparkSession, seed_urls, n_buckets: int) -> DataFra
         .withColumn("status", F.lit("PENDING"))
         .withColumn("lineage_src_url_hash", F.lit(None).cast("long"))
         .select([f.name for f in FRONTIER.fields])
-        # seed lists may themselves contain canonical duplicates
-        .dropDuplicates(["url_hash"])
     )
 
 

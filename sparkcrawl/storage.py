@@ -126,9 +126,15 @@ class IcebergishTable:
         partition pruning on that column."""
         manifest = (self.current_manifest() if snapshot_id is None
                     else self.manifest_for(snapshot_id))
-        dirs: List[str] = [] if manifest is None else [
-            d for d in manifest["data_dirs"] if os.path.isdir(d)
-        ]
+        dirs: List[str] = [] if manifest is None else list(manifest["data_dirs"])
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            # a manifest referencing GC'd files is corruption, not "no
+            # rows" — silently skipping would mask wrongly-expired
+            # snapshots on the resume/time-travel path
+            raise FileNotFoundError(
+                f"{self.path}: manifest references missing data dirs "
+                f"{missing} — snapshot was GC'd or the table is corrupt")
         if not dirs:
             return spark.createDataFrame([], self.schema)
         parts = [

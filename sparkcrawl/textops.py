@@ -321,7 +321,7 @@ def ann_lsh_bucketed(spark, sf):
     each vector; search touches only the query's bucket.  Hyperplanes are
     deterministic (seed 42).  Rows-only check: the plane constants can't
     be re-derived in ANSI SQL (recall vs brute force asserted in
-    tests/test_textops.py instead)."""
+    tests/test_queries.py instead)."""
     rng = np.random.RandomState(42)
     planes = rng.randn(6, 64).astype(np.float64).tolist()
     e = t(spark, sf, "embeddings")

@@ -95,3 +95,14 @@ def test_gc_unreachable(spark, table):
     data_root = os.path.join(table.path, "data")
     assert len(os.listdir(data_root)) == 1
     assert table.read(spark).count() == 30
+
+
+def test_read_expired_snapshot_raises(spark, table):
+    """A manifest referencing GC'd data dirs must fail loudly, not read
+    back as silently-missing rows (corruption masking)."""
+    table.append(_df(spark, 0, 10), 1)
+    old_sid = table.current_snapshot_id()
+    sid = table.compact(spark, 2)
+    table.gc_unreachable(sid)
+    with pytest.raises(FileNotFoundError, match="missing data dirs"):
+        table.read(spark, snapshot_id=old_sid)
