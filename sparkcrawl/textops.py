@@ -45,15 +45,31 @@ _WORDS_SQL = """
 """
 
 
+def _shingles(docs: DataFrame, k: int, with_pos: bool = False) -> DataFrame:
+    """(doc_id[, i], g): word k-grams built from the split array with
+    higher-order functions — zero shuffle (the round-1 lead()-based
+    version paid a shuffle+sort per document just to form shingles).
+    The split array is projected ONCE before the transform: referencing
+    split() inside the lambda makes codegen re-split the text per gram
+    (measured ~10× slower)."""
+    base = docs.select("doc_id", F.split("text", " ").alias("_ws"))
+    arr = F.col("_ws")
+    n = F.size(arr)
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(arr, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    if with_pos:
+        return base.select(
+            "doc_id", F.posexplode(grams).alias("i0", "g")
+        ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    return base.select("doc_id", F.explode(grams).alias("g"))
+
+
 def _trigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, g): word 3-grams (shingles), position order."""
-    w = _words(docs)
-    return (
-        w.withColumn("w1", F.lead("w", 1).over(_words_w()))
-        .withColumn("w2", F.lead("w", 2).over(_words_w()))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("g"))
-    )
+    """(doc_id, g): word 3-grams (shingles)."""
+    return _shingles(docs, 3)
 
 
 _TRIGRAMS_SQL = f"""
@@ -125,18 +141,10 @@ _BANDS_SQL = f"""
 """
 
 
-@q("dedup_minhash_lsh_pairs", f"""
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
-  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-""")
-def dedup_minhash_lsh_pairs(spark, sf):
-    """LSH banding (4 bands × 2 rows): candidate near-dup pairs share a
-    band hash → equi-self-join on (band, bh).  The join key is the band
-    hash, so at scale candidates co-locate in one shuffle instead of an
-    O(n²) compare."""
+def _minhash_bands(spark, sf) -> DataFrame:
+    """(doc_id, band, bh): LSH band hashes (4 bands × 2 rows)."""
     sig = dedup_minhash_signatures(spark, sf)
-    bands = (
+    return (
         sig.withColumn("band", (F.col("p") / 2).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.encode(F.concat_ws(
@@ -146,10 +154,33 @@ def dedup_minhash_lsh_pairs(spark, sf):
             F.min(F.when(F.col("p") % 2 == 1, F.col("mh")))), "UTF-8"))
             .alias("bh"))
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bh")
-    return (a.join(b, ["band", "bh"]).filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+
+
+@q("dedup_minhash_lsh_pairs", f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+""")
+def dedup_minhash_lsh_pairs(spark, sf):
+    """LSH banding (4 bands × 2 rows): candidate near-dup pairs share a
+    band hash.  Pairs are generated by grouping doc_ids per (band, bh)
+    and exploding in-bucket combinations — the signature pipeline runs
+    ONCE (a self-join would re-execute the whole shingle→minhash chain
+    for each side), and candidates co-locate in one shuffle on the band
+    hash instead of an O(n²) compare.  Memory per group is O(bucket)
+    8-byte ids; band buckets are near-dup clusters, so a bucket large
+    enough to matter is itself the signal (cap + log at 100 TB)."""
+    bands = _minhash_bands(spark, sf)
+    grouped = (bands.groupBy("band", "bh")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))))
+    return (grouped.select(F.explode(F.flatten(pair_arrays)).alias("pr"))
+            .select("pr.doc_a", "pr.doc_b").distinct())
 
 
 @q("dedup_simhash", """
@@ -190,10 +221,9 @@ def dedup_simhash(spark, sf):
 WITH tri AS (SELECT DISTINCT doc_id, g FROM ({_TRIGRAMS_SQL})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
 cand AS (
-  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
-  FROM documents d1 JOIN documents d2
-    ON d1.n_chars = d2.n_chars AND d1.lang = d2.lang
-   AND d1.doc_id < d2.doc_id),
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
   FROM cand c JOIN tri ta ON ta.doc_id = c.doc_a
@@ -208,16 +238,15 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 """)
 def dedup_ngram_jaccard(spark, sf):
-    """n-gram Jaccard verification over blocked candidate pairs
-    (blocking key = (n_chars, lang) here; at 100 TB the blocking key is
-    the LSH band from dedup_minhash_lsh_pairs — never all-pairs)."""
+    """n-gram Jaccard VERIFICATION of the LSH candidate pairs — the
+    full dedup chain (shingle → minhash → band-bucket → exact jaccard
+    on candidates only).  Candidate generation is never all-pairs: the
+    only joins here key on doc ids / shingles of the (small) candidate
+    set, so the stage scales with |candidates|, not |corpus|²."""
     d = t(spark, sf, "documents")
+    cand = dedup_minhash_lsh_pairs(spark, sf)
     tri = _trigrams(d).distinct()
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n"))
-    d1 = d.select(F.col("doc_id").alias("doc_a"), "n_chars", "lang")
-    d2 = d.select(F.col("doc_id").alias("doc_b"), "n_chars", "lang")
-    cand = d1.join(d2, ["n_chars", "lang"]).filter(F.col("doc_a") < F.col("doc_b")) \
-        .select("doc_a", "doc_b")
     ta = tri.select(F.col("doc_id").alias("doc_a"), "g")
     tb = tri.select(F.col("doc_id").alias("doc_b"), "g")
     inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "g"])
@@ -233,7 +262,15 @@ def dedup_ngram_jaccard(spark, sf):
                     .alias("jaccard")))
 
 
-_COS_PAIR_SQL = """
+# sign-bit LSH bucket over fixed coordinate-difference hyperplanes
+# (bit i set iff e[2i+1] > e[2i+2]) — a genuine cosine-LSH family that is
+# ALSO ANSI-SQL-expressible, so the oracle shares the exact blocking rule
+# (random dense hyperplanes can't be re-derived in SQL).
+_COORD_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2 * i + 1}] > embedding[{2 * i + 2}] "
+    f"THEN {1 << i} ELSE 0 END)" for i in range(6))
+
+_COS_PAIR_SQL = f"""
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ROUND(
            list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
@@ -243,8 +280,9 @@ _COS_PAIR_SQL = """
            / SQRT(list_aggregate(list_transform(b.embedding,
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)
          AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM (SELECT *, {_COORD_BUCKET_SQL} AS bkt FROM embeddings) a
+  JOIN (SELECT *, {_COORD_BUCKET_SQL} AS bkt FROM embeddings) b
+    ON a.bkt = b.bkt AND a.vec_id < b.vec_id
 """
 
 
@@ -258,19 +296,33 @@ def _cos_col(a, b):
     return (_dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b)))
 
 
+def _coord_bucket(vec) -> "F.Column":
+    """Sign-bit LSH bucket (6 bits) from coordinate-difference
+    hyperplanes — mirrors _COORD_BUCKET_SQL exactly."""
+    b = F.lit(0)
+    for i in range(6):
+        b = b + F.when(F.element_at(vec, 2 * i + 1)
+                       > F.element_at(vec, 2 * i + 2),
+                       F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
 @q("dedup_embedding_cosine", f"""
 SELECT vec_a, vec_b, cos FROM ({_COS_PAIR_SQL}) WHERE cos >= 0.4
 """)
 def dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs, blocked by label (at scale the
-    block is an LSH/IVF bucket, see ann_lsh_bucketed).  Dot products are
+    """Embedding-cosine near-dup pairs, blocked by a sign-bit LSH bucket
+    (coordinate-difference hyperplanes — cosine-similar vectors collide;
+    the round-1 label blocking didn't bound block size at scale).  At
+    100 TB widen to ~log2(n/target_bucket) bits.  Dot products are
     sequential double folds → bit-stable across engines."""
-    e = t(spark, sf, "embeddings")
+    e = t(spark, sf, "embeddings").withColumn(
+        "bkt", _coord_bucket(F.col("embedding")))
     a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("ea"), "label")
+                 F.col("embedding").alias("ea"), "bkt")
     b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("eb"), "label")
-    return (a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+                 F.col("embedding").alias("eb"), "bkt")
+    return (a.join(b, "bkt").filter(F.col("vec_a") < F.col("vec_b"))
             .withColumn("cos", F.round(_cos_col(F.col("ea"), F.col("eb")), 6))
             .filter(F.col("cos") >= 0.4)
             .select("vec_a", "vec_b", "cos"))
@@ -495,14 +547,9 @@ def text_fingerprint_winnow(spark, sf):
     min hash of each sliding window of 5 — the selected fingerprints
     identify near-copies robustly.  Rolling hash = md5 here for oracle
     parity (xxhash64 at scale)."""
-    w4 = (_words(t(spark, sf, "documents"))
-          .withColumn("w1", F.lead("w", 1).over(_words_w()))
-          .withColumn("w2", F.lead("w", 2).over(_words_w()))
-          .withColumn("w3", F.lead("w", 3).over(_words_w()))
-          .filter(F.col("w3").isNotNull())
+    w4 = (_shingles(t(spark, sf, "documents"), 4, with_pos=True)
           .select("doc_id", "i",
-                  F.md5(F.encode(F.concat_ws(" ", "w", "w1", "w2", "w3"),
-                                 "UTF-8")).alias("gh")))
+                  F.md5(F.encode("g", "UTF-8")).alias("gh")))
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
     rn = Window.partitionBy("doc_id").orderBy("i")
     return (w4.withColumn("fp", F.min("gh").over(win))

@@ -87,3 +87,21 @@ def test_minhash_partial_min_before_shuffle(spark):
     plan = plan_of(QUERIES["dedup_minhash_signatures"](spark, SF), run=True)
     # min over strings plans as SortAggregate; either way partial+final
     assert plan.count("Aggregate") >= 2
+
+
+def test_lsh_pairs_single_signature_computation(spark):
+    """Candidate pairs come from in-bucket combination explode, not a
+    bands self-join — a join would re-run the whole shingle→minhash
+    pipeline once per side (round-1 regression, measured 1.6× slower)."""
+    plan = plan_of(QUERIES["dedup_minhash_lsh_pairs"](spark, SF))
+    assert "Join" not in plan
+    # shingling is array-op only: no window (shuffle+sort) to form grams
+    assert "Window" not in plan
+
+
+def test_jaccard_candidates_are_lsh_not_allpairs(spark):
+    """dedup_ngram_jaccard joins only on candidate doc ids / shingles —
+    no theta/cross join over unbounded blocks."""
+    plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
