@@ -266,15 +266,37 @@ SELECT event_id, o_orderkey AS last_order FROM (
 """)
 def join_asof(spark, sf):
     """As-of join (most recent order ≤ each event's time, per user) —
-    Spark has no builtin ASOF; expressed as range join + windowed top-1
-    (SURVEY §2.B)."""
+    Spark has no builtin ASOF.  Expressed as a union-and-window merge:
+    tag orders (kind 0) and events (kind 1), sort per user by
+    (time, kind, orderkey), and carry the last order seen so far.  One
+    shuffle on user_id, intermediate size = |events| + |orders| — the
+    round-1 range-join + top-1 window expanded to |orders_before_event|
+    rows per event (10^8 for a 10^4×10^4 power user) before pruning.
+    Ordering makes the semantics exact: at equal timestamps orders sort
+    before events (kind) so the join bound is <=, and ascending orderkey
+    makes the last same-date order the max key (= ORDER BY date DESC,
+    key DESC top-1)."""
     o, e = t(spark, sf, "orders"), t(spark, sf, "events")
-    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(),
-                                               F.col("o_orderkey").desc())
-    return (joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("event_id", F.col("o_orderkey").alias("last_order")))
+    orders = (o.filter(F.col("o_custkey").isNotNull()
+                       & F.col("o_orderdate").isNotNull())
+              .select(F.col("o_custkey").alias("user_id"),
+                      F.col("o_orderdate").alias("t"),
+                      F.lit(0).alias("kind"),
+                      F.col("o_orderkey").alias("okey"),
+                      F.lit(None).cast("long").alias("event_id")))
+    events = (e.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+              .select("user_id", F.col("ts").alias("t"),
+                      F.lit(1).alias("kind"),
+                      F.lit(None).cast("long").alias("okey"),
+                      "event_id"))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("t"), F.col("kind"), F.col("okey"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    merged = orders.unionByName(events).withColumn(
+        "last_order", F.last("okey", ignorenulls=True).over(w))
+    return (merged.filter((F.col("kind") == 1)
+                          & F.col("last_order").isNotNull())
+            .select("event_id", "last_order"))
 
 
 @q("join_cross", """

@@ -89,6 +89,15 @@ def test_minhash_partial_min_before_shuffle(spark):
     assert plan.count("Aggregate") >= 2
 
 
+def test_asof_is_union_window_not_expanding_join(spark):
+    """join_asof must not contain a join at all — the union-and-window
+    merge replaces the range join whose intermediate is
+    |orders ≤ event| per event."""
+    plan = plan_of(QUERIES["join_asof"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
 def test_lsh_pairs_single_signature_computation(spark):
     """Candidate pairs come from in-bucket combination explode, not a
     bands self-join — a join would re-run the whole shingle→minhash
