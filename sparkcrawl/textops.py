@@ -367,45 +367,63 @@ def ann_bruteforce_topk(spark, sf):
             .select("query_id", "neighbor_id", "cos", "rk"))
 
 
+ANN_LSH_TABLES = 6      # OR-amplification: union of per-table candidates
+ANN_LSH_BITS = 4        # AND-amplification: sign bits per table
+ANN_BUCKET_CAP = 2000   # per-(table,bucket) membership cap (det. by vec_id)
+
+
 @q("ann_lsh_bucketed")  # hyperplane constants are engine-side → rows-only
 def ann_lsh_bucketed(spark, sf):
-    """Random-hyperplane LSH ANN (the 100 TB path): 6 sign bits bucket
-    each vector; search touches only the query's bucket.  Hyperplanes are
-    deterministic (seed 42).  Rows-only check: the plane constants can't
-    be re-derived in ANSI SQL (recall vs brute force asserted in
-    tests/test_queries.py instead)."""
+    """Random-hyperplane LSH ANN (the 100 TB path) with banding
+    amplification: L=6 hash tables × b=4 sign bits (AND within a table,
+    OR across tables) — recall rises with L while each probe still
+    touches only 1/2^b of the corpus per table.  Bucket membership is
+    capped deterministically (lowest vec_ids) so one degenerate bucket
+    can't absorb the corpus.  Hyperplanes are fixed (seed 42).
+    Rows-only driver check: the plane constants can't be re-derived in
+    ANSI SQL; recall@5 vs brute force is asserted with a quantitative
+    bar in tests/test_queries.py."""
     rng = np.random.RandomState(42)
-    planes = rng.randn(6, 64).astype(np.float64).tolist()
+    planes = rng.randn(ANN_LSH_TABLES, ANN_LSH_BITS, 64).astype(np.float64)
     e = t(spark, sf, "embeddings")
 
-    def bucket_of(vec_col):
-        bits = [
-            F.when(F.aggregate(
-                F.zip_with(vec_col,
-                           F.array(*[F.lit(p) for p in plane]),
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda a, v: a + v) > 0,
-                F.pow(F.lit(2), F.lit(i)).cast("long")).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    def table_keys(vec):
+        entries = []
+        for ti in range(ANN_LSH_TABLES):
+            bucket = F.lit(0)
+            for bi in range(ANN_LSH_BITS):
+                dot = F.aggregate(
+                    F.zip_with(vec,
+                               F.array(*[F.lit(p) for p in planes[ti][bi]]),
+                               lambda x, y: x.cast("double") * y),
+                    F.lit(0.0), lambda a, v: a + v)
+                bucket = bucket + F.when(dot > 0, F.lit(1 << bi)).otherwise(F.lit(0))
+            entries.append(F.struct(F.lit(ti).alias("tbl"),
+                                    bucket.alias("bkt")))
+        return F.array(*entries)
 
-    bucketed = e.withColumn("bucket", bucket_of(F.col("embedding")))
+    keyed = (e.select("vec_id", "embedding",
+                      F.explode(table_keys(F.col("embedding"))).alias("k"))
+             .select("vec_id", "embedding", "k.tbl", "k.bkt"))
+    wcap = Window.partitionBy("tbl", "bkt").orderBy("vec_id")
+    capped = (keyed.withColumn("_r", F.row_number().over(wcap))
+              .filter(F.col("_r") <= ANN_BUCKET_CAP).drop("_r"))
     queries = F.broadcast(
-        bucketed.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-                F.col("bucket").alias("qbucket")))
-    pairs = (queries.join(
-        bucketed.select(F.col("vec_id").alias("neighbor_id"),
-                        F.col("embedding").alias("ve"), "bucket"),
-        (F.col("bucket") == F.col("qbucket"))
-        & (F.col("neighbor_id") != F.col("query_id")))
-        .withColumn("cos", F.round(_cos_col(F.col("qe"), F.col("ve")), 6)))
+        capped.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"), "tbl", "bkt"))
+    # same pair can collide in several tables: dedupe + score in one
+    # groupBy (cos is identical per pair, max is just the dedupe)
+    cand = (queries.join(
+        capped.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ve"), "tbl", "bkt"),
+        ["tbl", "bkt"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_cos_col(F.col("qe"), F.col("ve")), 6))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return (pairs.withColumn("rk", F.row_number().over(w))
+    return (cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
             .select("query_id", "neighbor_id", "cos", "rk"))
 
