@@ -12,7 +12,16 @@ change localized to this module.
 
 Frozen extraction spec (A11 "husk" + A12 "clean")
 -------------------------------------------------
-1. bytes → str: UTF-8 with errors='replace' (deterministic for any input)
+1. bytes → str (charset sniff, all steps deterministic):
+   a. BOM: UTF-32 LE/BE, UTF-8, UTF-16 LE/BE BOMs select the matching
+      codec (BOM bytes stripped; UTF-32 checked before UTF-16)
+   b. else the first 1024 bytes are scanned (as latin-1) for a
+      ``<meta charset=…>`` / ``<meta http-equiv … charset=…>``
+      declaration (first match wins, case-insensitive)
+   c. declared labels normalize per the WHATWG quirks: gb2312→gbk;
+      ascii/us-ascii/iso-8859-1/latin(-)1 → windows-1252
+   d. unknown/undeclared charset falls back to UTF-8
+   e. decoding always uses errors='replace' (never raises)
 2. parse with html.parser (convert_charrefs=True ⇒ entities decoded)
 3. content of <script> <style> <template> <noscript> and comments dropped
 4. block-level elements (BLOCK_TAGS) contribute a newline boundary at both
@@ -28,6 +37,8 @@ Frozen extraction spec (A11 "husk" + A12 "clean")
 
 from __future__ import annotations
 
+import codecs
+import re
 from html.parser import HTMLParser
 from typing import List, Tuple
 from urllib.parse import urljoin
@@ -90,13 +101,61 @@ class _TextAndLinks(HTMLParser):
         pass
 
 
+# BOM table in sniff order (UTF-32 before UTF-16: their LE BOMs share a
+# prefix).  (bom_bytes, codec)
+_BOMS: Tuple[Tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+# WHATWG encoding-label quirks (the subset that matters for crawl HTML):
+# pages labeled gb2312 routinely use GBK extensions; ascii/latin-1 labels
+# mean windows-1252 on the real web.
+_CHARSET_ALIASES = {
+    "gb2312": "gbk",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+}
+
+_META_CHARSET_RE = re.compile(
+    r"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]+)""",
+    re.IGNORECASE)
+
+
+def sniff_charset(html: bytes) -> Tuple[str, int]:
+    """Frozen spec step 1a–1d: returns (codec_name, bom_bytes_to_skip)."""
+    for bom, codec in _BOMS:
+        if html.startswith(bom):
+            return codec, len(bom)
+    head = html[:1024].decode("latin-1", errors="replace")
+    m = _META_CHARSET_RE.search(head)
+    if m:
+        label = m.group(1).lower()
+        label = _CHARSET_ALIASES.get(label, label)
+        try:
+            codecs.lookup(label)
+            return label, 0
+        except LookupError:
+            pass
+    return "utf-8", 0
+
+
 def decode_html(html: bytes) -> str:
-    """Frozen byte→str rule: UTF-8, errors replaced (deterministic)."""
+    """Frozen byte→str rule (spec step 1): BOM → meta-charset → UTF-8
+    fallback, always errors='replace' (deterministic for any input)."""
     if html is None:
         return ""
     if isinstance(html, str):
         return html
-    return bytes(html).decode("utf-8", errors="replace")
+    b = bytes(html)
+    codec, skip = sniff_charset(b)
+    return b[skip:].decode(codec, errors="replace")
 
 
 def clean_text(raw: str) -> str:

@@ -10,7 +10,7 @@ what makes output invariant across local[8]/local[32] (SURVEY §3.2).
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Optional
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -203,7 +203,7 @@ def discover_links(extracted: DataFrame, round_no: int, n_buckets: int) -> DataF
 
 
 def probe_seen(candidates: DataFrame, frontier: DataFrame,
-               bloom_blobs, spark: SparkSession,
+               seen_df: Optional[DataFrame], spark: SparkSession,
                contains_fn=None) -> DataFrame:
     """A5 dedupe, exact-with-Bloom-fast-path (SURVEY §2.A A5):
 
@@ -212,37 +212,50 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
       authoritative frontier (false positives survive; true duplicates
       drop).  At 10^10 scale the anti-join therefore touches only the
       tiny maybe-seen slice instead of every discovered link.
+
+    ``seen_df`` is the per-bucket filter table (SEEN_SET schema:
+    partition_id, bloom, n_items, …) or None for the pure anti-join
+    path.  Candidates meet their bucket's blob via a CO-PARTITIONED
+    cogroup on host_bucket — each executor task loads only the blobs of
+    the buckets it processes.  (The round-1 design broadcast a driver
+    dict of ALL blobs to every executor: ~12 GB at the 10^10-URL design
+    point, a driver OOM + broadcast storm.  Nothing here scales with
+    the number of buckets on any single node.)
+
+    A bucket whose filter saturated (n_items < 0 marker, cuckoo backend
+    overflow) degrades gracefully: every candidate in it is treated as
+    maybe-seen and takes the exact anti-join path.
     """
     # anti-join needs no distinct on the build side — a duplicate-free
     # probe result either way, and distinct would re-shuffle the whole
     # frontier every round.
-    # bloom_blobs: {host_bucket: blob} dict, a Broadcast of one (caller
-    # manages its lifecycle), or None (pure anti-join path).
-    if not bloom_blobs:
+    if seen_df is None:
         return candidates.join(frontier.select("url_hash"),
                                "url_hash", "left_anti")
-    from pyspark import Broadcast
-    bc = (bloom_blobs if isinstance(bloom_blobs, Broadcast)
-          else spark.sparkContext.broadcast(bloom_blobs))
     if contains_fn is None:
         contains_fn = bloom_mod.contains_many
 
-    def maybe_seen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        blobs = bc.value
-        for batch in it:
-            out = batch.copy()
-            flags = pd.Series(False, index=batch.index)
-            for bucket, grp in batch.groupby("host_bucket"):
-                blob = blobs.get(int(bucket))
-                if blob is not None:
-                    flags.loc[grp.index] = contains_fn(
-                        blob, grp["url_hash"].to_numpy())
-            out["maybe_seen"] = flags
-            yield out
-
+    blobs = seen_df.select(
+        F.col("partition_id").alias("host_bucket"), "bloom", "n_items")
     schema = T.StructType(candidates.schema.fields +
                           [T.StructField("maybe_seen", T.BooleanType())])
-    flagged = candidates.mapInPandas(maybe_seen, schema)
+
+    def probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.copy()
+        if blob_pdf.empty:
+            # no filter for this bucket ⇒ nothing from it was ever seen
+            out["maybe_seen"] = False
+        elif (blob_pdf["n_items"] < 0).any():
+            out["maybe_seen"] = True  # saturated ⇒ exact path for all
+        else:
+            blob = bytes(blob_pdf["bloom"].iloc[0])
+            out["maybe_seen"] = contains_fn(
+                blob, cand_pdf["url_hash"].to_numpy())
+        return out
+
+    flagged = (candidates.groupBy("host_bucket")
+               .cogroup(blobs.groupBy("host_bucket"))
+               .applyInPandas(lambda key, c, b: probe(c, b), schema))
     fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")

@@ -91,7 +91,6 @@ class CrawlEngine:
             "fetchlog": self.fetchlog, "extracted": self.extracted,
             "seen": self.seen, "metrics": self.metrics,
         }
-        self._blobs: Dict[int, bytes] = {}
         self.round = -1
 
     # ------------------------------------------------------------- checkpoint
@@ -120,8 +119,9 @@ class CrawlEngine:
     def resume(self) -> int:
         """A18: roll every table back to the last completed checkpoint
         (Iceberg-style rollback — partial appends of an interrupted round
-        become unreachable), reload the Bloom blobs, return the round to
-        continue from."""
+        become unreachable), return the round to continue from.  Filter
+        state lives in the ``seen`` table (rolled back with the rest) —
+        no driver-side blob state to rebuild."""
         ckpt = self.read_checkpoint()
         if ckpt is None:
             raise FileNotFoundError(f"no checkpoint under {self.workdir}")
@@ -130,13 +130,8 @@ class CrawlEngine:
             if sid >= 0 and table.current_snapshot_id() != sid:
                 table._commit(table.manifest_for(sid))
         self.round = ckpt["round"]
-        self._load_blobs()
         self._pending_count = self.pending.read(self.spark).count()
         return self.round
-
-    def _load_blobs(self) -> None:
-        rows = self.seen.read(self.spark).collect()
-        self._blobs = {r["partition_id"]: bytes(r["bloom"]) for r in rows}
 
     # ------------------------------------------------------------------ init
     def init(self, seed_urls: List[str]) -> None:
@@ -156,44 +151,73 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ bloom state
     def _update_blooms(self, new_rows: DataFrame, round_no: int) -> None:
-        """A4: per-host_bucket Bloom deltas built executor-side
-        (applyInPandas partial) then merged driver-side with the previous
-        round's blobs — a two-level tree aggregation — and checkpointed."""
-        cap, fpp = self.bloom_capacity, self.bloom_fpp
+        """A4: per-host_bucket filter deltas built executor-side
+        (applyInPandas partial), then merged with the previous round's
+        blobs EXECUTOR-SIDE via a co-partitioned groupBy on the bucket id
+        — the distributed analog of a tree aggregation.  The driver never
+        materializes any blob: state flows seen-table → merge → seen-table
+        (round 1 held a driver dict of all blobs and broadcast it —
+        ~12 GB of driver heap + broadcast at the 10^10-URL design point).
 
+        Cuckoo backend overflow degrades gracefully: a bucket whose
+        filter is over capacity is written as a SATURATED marker
+        (n_items = -1, empty blob); probe_seen then routes that bucket's
+        candidates through the exact anti-join — slower, never wrong —
+        instead of killing the run mid-round."""
+        cap, fpp = self.bloom_capacity, self.bloom_fpp
         fmod = self._filter
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            blob = fmod.add_many(fmod.create(cap, fpp),
-                                 pdf["url_hash"].to_numpy())
+            bucket = int(pdf["host_bucket"].iloc[0])
+            try:
+                blob = fmod.add_many(fmod.create(cap, fpp),
+                                     pdf["url_hash"].to_numpy())
+                n = fmod.n_items(blob)
+            except OverflowError:
+                blob, n = b"", -1
             return pd.DataFrame({
-                "partition_id": [int(pdf["host_bucket"].iloc[0])],
-                "round": [round_no],
-                "bloom": [blob],
-                "n_items": [len(pdf)],
-                "fpp": [fpp],
+                "partition_id": [bucket], "round": [round_no],
+                "bloom": [blob], "n_items": [n], "fpp": [fpp],
             })
 
-        deltas = (
-            new_rows.select("host_bucket", "url_hash")
-            .groupBy("host_bucket").applyInPandas(build, SEEN_SET)
-            .collect()
-        )
-        for row in deltas:
-            bucket, blob = row["partition_id"], bytes(row["bloom"])
-            prev = self._blobs.get(bucket)
-            self._blobs[bucket] = blob if prev is None else fmod.merge(prev, blob)
-        rows = [
-            (b, round_no, blob, fmod.n_items(blob), fpp)
-            for b, blob in sorted(self._blobs.items())
-        ]
-        df = self.spark.createDataFrame(rows, SEEN_SET) if rows else \
-            self.spark.createDataFrame([], SEEN_SET)
-        self.seen.replace(df, round_no)
+        deltas = (new_rows.select("host_bucket", "url_hash")
+                  .groupBy("host_bucket").applyInPandas(build, SEEN_SET))
+        prev = self.seen.read(self.spark)
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            # ≤1 previous row + ≤1 delta row per bucket; sort by round so
+            # the merge order (prev ← delta) is deterministic (cuckoo
+            # kick sequences are order-sensitive)
+            pdf = pdf.sort_values("round")
+            out = pdf.iloc[[-1]].copy()
+            out["round"] = round_no
+            if (pdf["n_items"] < 0).any():
+                out["bloom"], out["n_items"] = [b""], [-1]
+                return out
+            blobs = [bytes(x) for x in pdf["bloom"]]
+            try:
+                merged = reduce(fmod.merge, blobs)
+                out["bloom"] = [merged]
+                out["n_items"] = [fmod.n_items(merged)]
+            except OverflowError:
+                out["bloom"], out["n_items"] = [b""], [-1]
+            return out
+
+        merged = (prev.unionByName(deltas)
+                  .groupBy("partition_id").applyInPandas(merge_group, SEEN_SET))
+        self.seen.replace(merged, round_no)
+
+    def seen_blobs(self) -> Dict[int, bytes]:
+        """Driver-side view of the per-bucket blobs (tests/stats only —
+        the engine itself never collects them)."""
+        rows = self.seen.read(self.spark).collect()
+        return {r["partition_id"]: bytes(r["bloom"]) for r in rows}
 
     def global_bloom(self) -> Optional[bytes]:
-        """Tree-merge of all per-partition blobs (checkpoint-stats view)."""
-        blobs = list(self._blobs.values())
+        """Tree-merge of all per-partition blobs (checkpoint-stats view;
+        collects blobs — stats/debug only, not on the round path).
+        Saturated buckets (cuckoo overflow markers) are skipped."""
+        blobs = [b for b in self.seen_blobs().values() if b]
         return reduce(self._filter.merge, blobs) if blobs else None
 
     # ------------------------------------------------------------------ round
@@ -259,8 +283,11 @@ class CrawlEngine:
         # discover → dedupe (bloom fast-path + exact anti-join)
         frontier_all = self.frontier.read(spark)
         cands = discover_links(ext_r, r, self.n_buckets).persist()
-        probe_bc = spark.sparkContext.broadcast(self._blobs) if self._blobs else None
-        new = probe_seen(cands, frontier_all, probe_bc, spark,
+        # per-bucket filter blobs stay in the seen table; candidates meet
+        # them bucket-co-partitioned inside probe_seen (no driver state,
+        # no full-blob broadcast)
+        seen_df = self.seen.read(spark) if self.round >= 0 else None
+        new = probe_seen(cands, frontier_all, seen_df, spark,
                          contains_fn=self._filter.contains_many).persist()
 
         # Independent jobs run concurrently from driver threads (Spark's
@@ -336,8 +363,6 @@ class CrawlEngine:
         tp = mark("metrics", tp)
         for df in (checked, selected, cands, new):
             df.unpersist()
-        if probe_bc is not None:
-            probe_bc.destroy()
 
         if self.compact_every and r % self.compact_every == 0:
             self.frontier.compact(spark, r)

@@ -33,6 +33,19 @@ CASES = {
     "malformed": b"<div><b>unclosed bold <i>and italic</div><p>next</b></i> para",
     "unicode": "<p>日本語テキスト schön déjà vu — em—dash</p>".encode("utf-8"),
     "selfclosing": b'<p>a</p><img src="x.png"/><p>b</p><br/><input value="v">c',
+    # charset-sniff cases (frozen spec step 1a-1d)
+    "charset_latin1_meta":
+        '<meta charset="iso-8859-1"><p>café crème — naïve</p>'
+        .encode("windows-1252"),
+    "charset_gbk_meta":
+        ('<meta http-equiv="Content-Type" content="text/html; '
+         'charset=gb2312"><p>中文网页内容</p>').encode("gbk"),
+    "charset_sjis_meta":
+        "<meta charset=shift_jis><p>日本語のページ</p>".encode("shift_jis"),
+    "charset_utf16_bom": "<p>utf-16 content é€</p>".encode("utf-16"),
+    "charset_utf8_bom": b"\xef\xbb\xbf<p>bom page</p>",
+    "charset_unknown_label":
+        '<meta charset="klingon-9"><p>fallback utf8 é</p>'.encode("utf-8"),
 }
 
 os.makedirs(HERE, exist_ok=True)

@@ -77,3 +77,33 @@ def test_extract_never_raises_on_garbage():
                     b"<" * 1000, "日本語".encode("utf-16"), None):
         text = extract_text(garbage)
         assert isinstance(text, str)
+
+
+def test_sniff_charset_table():
+    """Frozen spec step 1: BOM > meta declaration > UTF-8 fallback."""
+    from sparkcrawl.extract import sniff_charset
+    cases = [
+        (b"\xef\xbb\xbfhello", ("utf-8", 3)),
+        ("x".encode("utf-16"), ("utf-16-le", 2)),
+        (b"\xfe\xff\x00x", ("utf-16-be", 2)),
+        (b"\xff\xfe\x00\x00abcd", ("utf-32-le", 4)),
+        (b'<meta charset="GB2312">', ("gbk", 0)),          # WHATWG quirk
+        (b"<meta charset=latin-1>", ("windows-1252", 0)),  # WHATWG quirk
+        (b'<META CHARSET="Shift_JIS">', ("shift_jis", 0)),
+        (b'<meta http-equiv="Content-Type" content="text/html; '
+         b'charset=euc-jp">', ("euc-jp", 0)),
+        (b'<meta charset="not-a-codec">', ("utf-8", 0)),
+        (b"<p>plain</p>", ("utf-8", 0)),
+        # declaration beyond the 1024-byte sniff window is ignored
+        (b" " * 1100 + b'<meta charset="gbk">', ("utf-8", 0)),
+    ]
+    for raw, want in cases:
+        assert sniff_charset(raw) == want, raw[:40]
+
+
+def test_decode_non_utf8_pages_roundtrip():
+    from sparkcrawl.extract import extract_text
+    body = '<meta charset="iso-8859-1"><p>café — naïve</p>'
+    assert extract_text(body.encode("windows-1252")) == "café — naïve"
+    gbk = '<meta charset=gb2312><p>中文内容</p>'.encode("gbk")
+    assert extract_text(gbk) == "中文内容"

@@ -89,6 +89,21 @@ def test_minhash_partial_min_before_shuffle(spark):
     assert plan.count("Aggregate") >= 2
 
 
+def test_probe_seen_is_cogrouped_not_broadcast(spark):
+    """A4/A5 scale invariant: candidates meet their bucket's filter blob
+    via a co-partitioned cogroup — NO driver-dict broadcast of all blobs
+    (round-1 design: ~12 GB broadcast at the 10^10-URL point)."""
+    from pyspark.sql import types as T
+
+    from sparkcrawl.frontier import probe_seen
+    from sparkcrawl.schemas import SEEN_SET
+    seeds = seeds_to_frontier(spark, [corpus.page_url(i) for i in range(20)], 8)
+    seen = spark.createDataFrame([], SEEN_SET)
+    plan = plan_of(probe_seen(seeds, seeds, seen, spark))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan.split("LeftAnti")[0]
+
+
 def test_asof_is_union_window_not_expanding_join(spark):
     """join_asof must not contain a join at all — the union-and-window
     merge replaces the range join whose intermediate is

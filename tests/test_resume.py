@@ -45,10 +45,11 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     resumed.run_round()
 
     assert _frontier_state(spark, resumed) == _frontier_state(spark, straight)
-    # bloom state also reloaded: blobs agree
-    assert resumed._blobs.keys() == straight._blobs.keys()
-    for k in resumed._blobs:
-        assert resumed._blobs[k] == straight._blobs[k]
+    # filter state (seen table) also rolled back + rebuilt identically
+    rb, sb = resumed.seen_blobs(), straight.seen_blobs()
+    assert rb.keys() == sb.keys()
+    for k in rb:
+        assert rb[k] == sb[k]
 
 
 def test_resume_without_checkpoint_raises(spark, tmp_path):
