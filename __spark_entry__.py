@@ -58,6 +58,8 @@ _PRIORITY = [
     "text_token_counts", "text_quality_score", "text_lang_id",
     "text_fingerprint_winnow",
     "multimodal_decode_meta", "multimodal_features",
+    # -- round-2 additions --
+    "husker_value_ops",
 ]
 
 

@@ -221,6 +221,34 @@ def doc_link_targets(doc_id: int, n_docs: int) -> List[int]:
     return [(doc_id * 31 + 7 * (j + 1)) % n_docs for j in range(doc_n_links(doc_id))]
 
 
+def product_fields(doc_id: int) -> Tuple[int, int, int, int]:
+    """(price_cents, qty, day_offset, stock) — pure functions of doc_id,
+    mirrored arithmetically by the husker_value_ops DuckDB oracle."""
+    return ((doc_id * 7919) % 1000000, (doc_id * 13) % 5000,
+            doc_id % 365, doc_id % 7)
+
+
+def render_product_html(doc_id: int) -> bytes:
+    """A typed 'product page' for the Husker value-op surface: price with
+    thousands separators (.float), count (.int), ISO date (.date), JSON
+    metadata block (.json), and the title under one of two layout
+    variants (one_of multi-spec)."""
+    cents, qty, day, stock = product_fields(doc_id)
+    d = (datetime(2025, 1, 1) + timedelta(days=day)).date().isoformat()
+    title = f"Product {doc_id}"
+    title_html = (f'<h1 class="title">{title}</h1>' if doc_id % 2 == 0
+                  else f'<div id="name">{title}</div>')
+    return (
+        f"<html><body>{title_html}"
+        f'<span class="price">{cents / 100:,.2f}</span>'
+        f'<span class="qty">{qty:,}</span>'
+        f'<time datetime="{d}">{d}</time>'
+        f'<script type="application/json" id="meta">'
+        f'{{"sku": {doc_id}, "stock": {stock}}}</script>'
+        "</body></html>"
+    ).encode("utf-8")
+
+
 def render_doc_html(doc_id: int, text: str, n_docs: int) -> bytes:
     """Wrap a documents.text row in deterministic HTML (escape-round-trip:
     extraction recovers whitespace-collapsed text)."""

@@ -229,6 +229,48 @@ def crawl_seen_bloom_probe(spark, sf):
     return d.mapInPandas(probe, "doc_id long, maybe_seen boolean")
 
 
+@q("husker_value_ops", """
+SELECT doc_id,
+       'Product ' || doc_id AS title,
+       ROUND(((doc_id * 7919) % 1000000) / 100.0, 2) AS price,
+       (doc_id * 13) % 5000 AS qty,
+       CAST(DATE '2025-01-01' + (doc_id % 365) * INTERVAL 1 DAY AS DATE)
+         AS listed,
+       doc_id % 7 AS stock
+FROM documents
+""")
+def husker_value_ops(spark, sf):
+    """§2.C value ops + multi-spec alternatives: a scrape rule using
+    .float (thousands-separated price), .int (count), .date (ISO date),
+    .json (script application/json payload), and one_of over two layout
+    variants — run vectorized inside mapInPandas; the oracle states the
+    rendered values arithmetically (corpus.product_fields)."""
+    from .corpus import render_product_html
+    from .husker import parse as husker_parse
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def scrape(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                doc = husker_parse(render_product_html(int(i)))
+                rows.append((
+                    int(i),
+                    doc.one_of("h1.title", "div#name").text,
+                    doc.one("span.price").float,
+                    doc.one("span.qty").int,
+                    doc.one("time").date(),
+                    doc.one("script[type=application/json]").json["stock"],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "title", "price", "qty", "listed", "stock"])
+
+    schema = ("doc_id long, title string, price double, qty long, "
+              "listed date, stock long")
+    return d.mapInPandas(scrape, schema)
+
+
 @q("husker_scrape_fields", """
 SELECT doc_id,
        TRIM(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS lead_text,

@@ -21,6 +21,8 @@ Selector syntax (frozen spec, CSS-ish subset):
 
 from __future__ import annotations
 
+import datetime
+import json as _json
 import re
 from html.parser import HTMLParser
 from typing import Iterator, List, Optional
@@ -40,8 +42,14 @@ class HuskerNotUnique(HuskerError):
     """Expected exactly one match; found several."""
 
 
+class HuskerValueError(HuskerError):
+    """Value conversion (.int/.float/.date/.json) failed."""
+
+
 _VOID_TAGS = frozenset("""area base br col embed hr img input link meta
     param source track wbr""".split())
+
+_NUM_CLEAN = re.compile("[,\\s\u00a0]")  # thousands sep, whitespace, NBSP
 
 _SEL_PART = re.compile(
     r"^(?P<tag>[a-zA-Z0-9*]+)?"
@@ -85,6 +93,22 @@ class Element:
     @property
     def text(self) -> str:
         return clean_text(self.raw_text)
+
+    @property
+    def raw_content(self) -> str:
+        """All text descendants verbatim, INCLUDING muted subtrees —
+        the payload view used by .json (script bodies are data there)."""
+        out: List[str] = []
+
+        def walk(el: "Element") -> None:
+            for c in el.children:
+                if isinstance(c, str):
+                    out.append(c)
+                else:
+                    walk(c)
+
+        walk(self)
+        return "".join(out)
 
     def iter(self) -> Iterator["Element"]:
         yield self
@@ -199,6 +223,27 @@ class Husker:
     def last(self, selector: str) -> "Husker":
         return self.all(selector)[-1]
 
+    # -- multi-spec alternatives (try specs in order) ----------------------
+    def one_of(self, *selectors: str) -> "Husker":
+        """First selector (in order) with ≥1 match wins; that selector
+        must then match exactly one element (the reference's
+        try-specs-in-order ergonomic for pages with layout variants)."""
+        for sel in selectors:
+            found = _select(self._el, sel)
+            if found:
+                if len(found) > 1:
+                    raise HuskerNotUnique(
+                        f"{len(found)} matches for {sel!r}")
+                return Husker(found[0])
+        raise HuskerMismatch(f"no match for any of {selectors!r}")
+
+    def some_of(self, *selectors: str) -> Optional["Husker"]:
+        """one_of, but None when no alternative matches."""
+        try:
+            return self.one_of(*selectors)
+        except HuskerMismatch:
+            return None
+
     # -- value ops ---------------------------------------------------------
     @property
     def text(self) -> str:
@@ -218,6 +263,42 @@ class Husker:
         """Regex sub-selection over the cleaned text."""
         m = re.search(pattern, self.text)
         return m.group(group) if m else None
+
+    # -- typed value ops (conversion failures raise HuskerValueError) ------
+    @property
+    def int(self) -> int:
+        """Cleaned text → int; thousands separators / NBSP / spaces are
+        stripped (price-and-count scrape staple)."""
+        raw = _NUM_CLEAN.sub("", self.text)
+        try:
+            return int(raw)
+        except ValueError as e:
+            raise HuskerValueError(f"not an int: {self.text!r}") from e
+
+    @property
+    def float(self) -> float:
+        raw = _NUM_CLEAN.sub("", self.text)
+        try:
+            return float(raw)
+        except ValueError as e:
+            raise HuskerValueError(f"not a float: {self.text!r}") from e
+
+    def date(self, fmt: str = "%Y-%m-%d") -> "datetime.date":
+        """Cleaned, stripped text parsed with strptime(fmt) → date."""
+        try:
+            return datetime.datetime.strptime(self.text.strip(), fmt).date()
+        except ValueError as e:
+            raise HuskerValueError(
+                f"not a {fmt!r} date: {self.text!r}") from e
+
+    @property
+    def json(self):
+        """Raw content (muted subtrees included — <script type=
+        "application/json"> bodies are the common case) → json.loads."""
+        try:
+            return _json.loads(self._el.raw_content)
+        except ValueError as e:
+            raise HuskerValueError("invalid JSON payload") from e
 
     @property
     def tag(self) -> str:

@@ -84,3 +84,48 @@ def test_subtree_text_matches_extract_spec():
     from sparkcrawl.extract import extract_text
     body_text = parse(DOC).one("body").text
     assert body_text == extract_text(DOC)
+
+
+PRODUCT = (b'<body><h1 class="title">Product 7</h1>'
+           b'<span class="price">1,234.56</span>'
+           b'<span class="qty">2,500</span>'
+           b'<time datetime="2025-03-04">2025-03-04</time>'
+           b'<script type="application/json">{"sku": 7, "stock": [1, 2]}'
+           b'</script></body>')
+
+
+def test_value_ops_int_float_date_json():
+    import datetime
+    doc = parse(PRODUCT)
+    assert doc.one("span.price").float == 1234.56
+    assert doc.one("span.qty").int == 2500
+    assert doc.one("time").date() == datetime.date(2025, 3, 4)
+    assert doc.one("script[type=application/json]").json == \
+        {"sku": 7, "stock": [1, 2]}
+
+
+def test_value_ops_raise_huskervalueerror():
+    import pytest
+
+    from sparkcrawl.husker import HuskerValueError
+    doc = parse(b'<p class="x">not a number</p>')
+    for op in (lambda h: h.int, lambda h: h.float,
+               lambda h: h.date(), lambda h: h.json):
+        with pytest.raises(HuskerValueError):
+            op(doc.one("p.x"))
+
+
+def test_one_of_multi_spec_alternatives():
+    import pytest
+
+    from sparkcrawl.husker import HuskerMismatch, HuskerNotUnique
+    doc = parse(PRODUCT)
+    # first alternative wins when present
+    assert doc.one_of("h1.title", "div#name").text == "Product 7"
+    # falls through to later specs
+    assert doc.one_of("div#name", "h1.title").text == "Product 7"
+    assert doc.some_of("div#nope", "h1.missing") is None
+    with pytest.raises(HuskerMismatch):
+        doc.one_of("div#nope", "h1.missing")
+    with pytest.raises(HuskerNotUnique):
+        doc.one_of("span")  # two spans
