@@ -13,8 +13,11 @@ Frozen canonicalization spec
 1. scheme and host lowercased; trailing ``.`` stripped from host
 2. default ports removed (http:80, https:443)
 3. fragment removed
-4. percent-encoding normalized: unreserved characters decoded, other
-   escapes uppercased; path re-quoted with a fixed safe set
+4. percent-encoding normalized per RFC 3986 §6.2.2: escapes of
+   UNRESERVED octets (ALPHA / DIGIT / - . _ ~) decoded, all other
+   escapes uppercased and LEFT ENCODED — %2F never becomes a path
+   separator, so distinct URLs stay distinct; raw disallowed
+   characters (spaces, non-ASCII) are percent-quoted
 5. dot-segments resolved in the path; empty path → ``/``
 6. query: ``key=value`` pairs parsed (blank values kept), tracking params
    dropped (utm_*, fbclid, gclid, msclkid, mc_eid, igshid, ref_src),
@@ -25,7 +28,7 @@ from __future__ import annotations
 
 import posixpath
 import re
-from urllib.parse import parse_qsl, quote, unquote, urlencode, urlsplit, urlunsplit
+from urllib.parse import parse_qsl, quote, urlencode, urlsplit, urlunsplit
 
 import pandas as pd
 
@@ -38,11 +41,41 @@ _PATH_SAFE = "/:@!$&'()*+,;=~-._"
 _QUERY_SAFE = "~-._"
 
 
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~")
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
+def _norm_pct(path: str) -> str:
+    """Spec item 4: decode escapes of unreserved octets only; uppercase
+    the rest (reserved octets stay encoded — decoding %2F would merge
+    distinct URLs by conjuring a path separator)."""
+    out = []
+    i, n = 0, len(path)
+    while i < n:
+        c = path[i]
+        if (c == "%" and i + 2 < n
+                and path[i + 1] in _HEX and path[i + 2] in _HEX):
+            octet = chr(int(path[i + 1:i + 3], 16))
+            if octet in _UNRESERVED:
+                out.append(octet)
+            else:
+                out.append("%" + path[i + 1:i + 3].upper())
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def _canon_path(path: str) -> str:
     if not path:
         return "/"
-    # normalize percent-encoding by decode→re-quote with a fixed safe set
-    decoded = unquote(path)
+    # escape normalization FIRST: afterwards every literal '/' is a real
+    # separator (encoded ones stayed %2F) so dot-segment resolution is
+    # structure-safe.  %2E decodes to '.' (unreserved) and then resolves
+    # — the RFC 3986 §6.2.2.3 equivalence.
+    decoded = _norm_pct(path)
     normalized = posixpath.normpath(decoded)
     # posixpath.normpath collapses trailing slash; preserve it (distinct URL)
     if decoded != "/" and decoded.endswith("/") and not normalized.endswith("/"):
@@ -51,7 +84,8 @@ def _canon_path(path: str) -> str:
         normalized = "/" + normalized
     if normalized.startswith("//"):  # normpath keeps leading '//'
         normalized = "/" + normalized.lstrip("/")
-    return quote(normalized, safe=_PATH_SAFE)
+    # quote raw disallowed chars; '%' is safe so existing escapes survive
+    return quote(normalized, safe=_PATH_SAFE + "%")
 
 
 def canonicalize(url: str) -> str:

@@ -63,3 +63,18 @@ def test_frozen_spec_cases():
 def test_tracking_params_dropped():
     assert canonicalize("http://h.example/?utm_campaign=a&fbclid=b&gclid=c&x=1") == \
         "http://h.example/?x=1"
+
+
+def test_reserved_escapes_stay_encoded():
+    """Spec item 4: %2F must never become a path separator (decoding it
+    conflates distinct URLs) and escape hex is uppercased; unreserved
+    escapes decode; encoded dot-segments resolve per RFC 3986 §6.2.2.3."""
+    assert canonicalize("http://h.example/a%2Fb") == "http://h.example/a%2Fb"
+    assert canonicalize("http://h.example/a%2fb") == "http://h.example/a%2Fb"
+    assert canonicalize("http://h.example/a%3Fq") == "http://h.example/a%3Fq"
+    assert canonicalize("http://h.example/%2E%2E/x") == "http://h.example/x"
+    # distinctness: the encoded-slash URL differs from the real two-segment one
+    assert canonicalize("http://h.example/a%2Fb") != \
+        canonicalize("http://h.example/a/b")
+    # raw disallowed characters get quoted
+    assert canonicalize("http://h.example/a b") == "http://h.example/a%20b"
