@@ -82,11 +82,41 @@ def main() -> None:
             rows[name] = -1
             log(f"{name}: FAILED {type(ex).__name__}: {str(ex)[:200]}")
 
-    # fixed-size crawl throughput probe (20k pages, 3 rounds)
+    # crawl throughput probes.  Shapes are FROZEN so rounds compare:
+    # * crawl_3rounds_20k — round-1 shape, identical config (AQE on),
+    #   kept verbatim as the r1→rN regression signal.
+    # * crawl_4rounds_120k — the standing headline probe (≥100k pages),
+    #   run with the engine's production config (AQE OFF for
+    #   micro-batches — measured rule, see CLAUDE.md).  urls_per_sec is
+    #   reported from THIS probe.
     from sparkcrawl import corpus
     from sparkcrawl.rounds import CrawlEngine
     from sparkcrawl.schemas import ROBOTS
 
+    def crawl_probe(tag: str, n_pages: int, n_seeds: int, budget: int,
+                    rounds: int, fat: int, aqe: bool) -> tuple:
+        wd = f"/tmp/sparkcrawl_bench_{tag}"
+        shutil.rmtree(wd, ignore_errors=True)
+        os.makedirs(wd)
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        try:
+            t0 = time.time()
+            eng = CrawlEngine(
+                spark, wd,
+                pages=corpus.pages_df(spark, n_pages, fat=fat),
+                robots=spark.createDataFrame(corpus.robots_rows(), ROBOTS),
+                budget_per_host=budget, n_buckets=32, salt_buckets=8)
+            eng.init([corpus.page_url(i) for i in range(n_seeds)])
+            summaries = eng.run(rounds, stop_when_idle=True)
+            secs = round(time.time() - t0, 3)
+            extracted = sum(s["urls_extracted"] for s in summaries)
+            log(f"crawl[{tag}]: {extracted} pages in {secs}s")
+            return secs, extracted
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            shutil.rmtree(wd, ignore_errors=True)
+
+    # r1 shape verbatim (n_buckets was 16 in r1 — kept)
     wd = "/tmp/sparkcrawl_bench_entry"
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd)
@@ -99,9 +129,15 @@ def main() -> None:
     eng.init([corpus.page_url(i) for i in range(4000)])
     summaries = eng.run(3, stop_when_idle=True)
     crawl_secs = round(time.time() - t0, 3)
-    extracted = sum(s["urls_extracted"] for s in summaries)
+    extracted_20k = sum(s["urls_extracted"] for s in summaries)
     timings["crawl_3rounds_20k"] = crawl_secs
-    log(f"crawl: {extracted} pages in {crawl_secs}s")
+    log(f"crawl: {extracted_20k} pages in {crawl_secs}s")
+    shutil.rmtree(wd, ignore_errors=True)
+
+    big_secs, big_extracted = crawl_probe(
+        "120k", n_pages=120000, n_seeds=30000, budget=40000,
+        rounds=4, fat=20, aqe=False)
+    timings["crawl_4rounds_120k"] = big_secs
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(json.dumps({
@@ -111,8 +147,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_label,
         "rows": rows,
-        "crawl_urls_extracted": extracted,
-        "crawl_urls_per_sec": round(extracted / crawl_secs, 1),
+        "crawl_urls_extracted": big_extracted,
+        "crawl_urls_per_sec": round(big_extracted / big_secs, 1),
+        "crawl20k_urls_extracted": extracted_20k,
+        "crawl20k_urls_per_sec": round(extracted_20k / crawl_secs, 1),
     }), flush=True)
     spark.stop()
 
