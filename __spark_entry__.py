@@ -59,7 +59,8 @@ _PRIORITY = [
     "text_fingerprint_winnow",
     "multimodal_decode_meta", "multimodal_features",
     # -- round-2 additions --
-    "husker_value_ops",
+    "husker_value_ops", "husker_json_fields",
+    "dedup_lines_boilerplate", "text_pii_scrub",
 ]
 
 

@@ -249,6 +249,21 @@ def render_product_html(doc_id: int) -> bytes:
     ).encode("utf-8")
 
 
+def render_doc_json(doc_id: int) -> bytes:
+    """A typed JSON document for the JSON-husker surface (same field
+    arithmetic as render_product_html so oracles share product_fields)."""
+    import json as _j
+    cents, qty, day, stock = product_fields(doc_id)
+    name_key = "display" if doc_id % 2 == 0 else "title"
+    return _j.dumps({
+        "sku": doc_id,
+        "price": {"amount": f"{cents / 100:,.2f}"},
+        "tags": [f"t{j}" for j in range(1 + doc_id % 3)],
+        "variants": [{"qty": qty}, {"qty": stock}],
+        "name": {name_key: f"Product {doc_id}"},
+    }, separators=(",", ":")).encode("utf-8")
+
+
 def render_doc_html(doc_id: int, text: str, n_docs: int) -> bytes:
     """Wrap a documents.text row in deterministic HTML (escape-round-trip:
     extraction recovers whitespace-collapsed text)."""

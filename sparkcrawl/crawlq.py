@@ -271,6 +271,46 @@ def husker_value_ops(spark, sf):
     return d.mapInPandas(scrape, schema)
 
 
+@q("husker_json_fields", """
+SELECT doc_id,
+       doc_id AS sku,
+       ROUND(((doc_id * 7919) % 1000000) / 100.0, 2) AS price,
+       CAST(1 + doc_id % 3 AS INT) AS n_tags,
+       (doc_id * 13) % 5000 + doc_id % 7 AS qty_total,
+       'Product ' || doc_id AS title
+FROM documents
+""")
+def husker_json_fields(spark, sf):
+    """§2.C over JSON documents: the JsonHusker path spec
+    (keys / [N] / [*] fan-out) + typed values + one_of alternatives,
+    vectorized in mapInPandas; the oracle restates the rendered JSON's
+    field arithmetic (corpus.product_fields)."""
+    from .corpus import render_doc_json
+    from .husker import parse_json
+
+    d = t(spark, sf, "documents").select("doc_id")
+
+    def scrape(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["doc_id"]:
+                doc = parse_json(render_doc_json(int(i)))
+                rows.append((
+                    int(i),
+                    doc.one("sku").int,
+                    doc.one("price.amount").float,
+                    len(doc.any("tags[*]")),
+                    sum(v.int for v in doc.all("variants[*].qty")),
+                    doc.one_of("name.display", "name.title").text,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sku", "price", "n_tags", "qty_total", "title"])
+
+    schema = ("doc_id long, sku long, price double, n_tags int, "
+              "qty_total long, title string")
+    return d.mapInPandas(scrape, schema)
+
+
 @q("husker_scrape_fields", """
 SELECT doc_id,
        TRIM(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS lead_text,

@@ -1,0 +1,128 @@
+"""A10 — real HTTP fetch path (the production swap for the sandbox
+fetch-join, README "what changes on a real deployment").
+
+``fetch_and_husk_http`` has the SAME output contract as
+``frontier.fetch_and_husk`` (selected columns + fetched/text/links/lang/
+http_status/final_url), so ``CrawlEngine(fetcher="http")`` drops it in
+without touching any downstream stage.
+
+Design (the UDF-shaped async fetcher the north star names):
+
+* ``mapInPandas`` over the politeness-bounded selected set — each Arrow
+  batch is fetched by a bounded thread pool (stdlib ``urllib`` +
+  ``ThreadPoolExecutor``; I/O-bound threads sidestep the GIL), then
+  husked with the same frozen extraction spec as the join path, so
+  extracted text stays byte-identical regardless of fetcher.
+* redirects followed by urllib; ``final_url`` records where the chain
+  landed (≠ url_canon ⇒ redirect), ``http_status`` the final code.
+* failures NEVER raise across the UDF boundary: HTTP errors carry their
+  code, transport errors are -1; ``attempts`` counts tries (bounded
+  retries with fixed backoff on transport errors only — 4xx/5xx are
+  terminal).
+* politeness beyond the per-round budget (per-host concurrency, delays)
+  belongs to the selection stage (A8), which has already bounded this
+  set; the pool bound here only caps per-task socket fan-out.
+
+No network exists in this sandbox; tests drive this module against an
+in-process ``http.server`` on 127.0.0.1 (tests/test_http_fetch.py) —
+the code path is identical for real hosts.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .extract import husk, resolve_links
+
+USER_AGENT = "sparkcrawl/0.2 (+https://example.invalid/bot)"
+_RESULT_FIELDS = [
+    T.StructField("fetched", T.BooleanType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("lang", T.StringType()),
+    T.StructField("http_status", T.IntegerType()),
+    T.StructField("final_url", T.StringType()),
+    T.StructField("attempts", T.IntegerType()),
+]
+
+
+def _fetch_one(url: str, timeout_s: float, retries: int,
+               backoff_s: float, max_bytes: int
+               ) -> Tuple[Optional[bytes], int, Optional[str], int]:
+    """(body|None, http_status, final_url|None, attempts)."""
+    attempts = 0
+    for attempt in range(retries + 1):
+        attempts = attempt + 1
+        try:
+            req = urllib.request.Request(
+                url, headers={"User-Agent": USER_AGENT})
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = resp.read(max_bytes)
+                return body, int(resp.status), resp.geturl(), attempts
+        except urllib.error.HTTPError as e:
+            # terminal: the server answered (4xx/5xx) — no retry
+            return None, int(e.code), e.geturl(), attempts
+        except Exception:
+            # transport error (refused, timeout, DNS): bounded retry
+            if attempt < retries:
+                time.sleep(backoff_s * (attempt + 1))
+    return None, -1, None, attempts
+
+
+def fetch_and_husk_http(selected: DataFrame,
+                        timeout_s: float = 10.0,
+                        retries: int = 2,
+                        backoff_s: float = 0.2,
+                        max_bytes: int = 4 * 1024 * 1024,
+                        pool_size: int = 16) -> DataFrame:
+    """Fetch each selected url_canon over HTTP and husk the body.
+
+    Output schema = selected + (fetched, text, links, lang, http_status,
+    final_url, attempts) — a superset of fetch_and_husk's contract
+    (attempts is extra).  Rows that fail to fetch come back with
+    fetched=false (the join path drops misses instead); to_extracted
+    filters on fetched either way.
+    """
+    schema = T.StructType(list(selected.schema.fields) + _RESULT_FIELDS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            urls = list(b["url_canon"])
+            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                raw = list(pool.map(
+                    lambda u: _fetch_one(u, timeout_s, retries,
+                                         backoff_s, max_bytes), urls))
+            out = b.copy()
+            fetched, texts, links, statuses, finals, tries = \
+                [], [], [], [], [], []
+            for url, (body, status, final, n_try) in zip(urls, raw):
+                ok = body is not None and 200 <= status < 300
+                fetched.append(ok)
+                statuses.append(status)
+                finals.append(final)
+                tries.append(n_try)
+                if ok:
+                    text, hrefs = husk(body)
+                    texts.append(text)
+                    links.append(resolve_links(final or url, hrefs))
+                else:
+                    texts.append(None)
+                    links.append([])
+            out["fetched"] = fetched
+            out["text"] = texts
+            out["links"] = links
+            out["lang"] = None  # wire gives no lang; langid is a textop
+            out["http_status"] = pd.array(statuses, dtype="int32")
+            out["final_url"] = finals
+            out["attempts"] = pd.array(tries, dtype="int32")
+            yield out
+
+    return selected.mapInPandas(run, schema)

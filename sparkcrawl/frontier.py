@@ -162,6 +162,13 @@ def fetch_and_husk(selected: DataFrame, pages: DataFrame,
         .withColumn("text", F.when(F.col("fetched"), F.col("_husked.text")))
         .withColumn("links", F.when(F.col("fetched"), F.col("_husked.links"))
                     .otherwise(F.array().cast("array<string>")))
+        # HTTP-layer columns (synthesized here; fetch_http fills them
+        # from the wire): the pages table IS the web, so hits are 200
+        # with no redirect chain
+        .withColumn("http_status",
+                    F.when(F.col("fetched"), F.lit(200)).cast("int"))
+        .withColumn("final_url",
+                    F.when(F.col("fetched"), F.col("url_canon")))
         .drop("_page_url", "_html", "_husked")
     )
 
@@ -263,8 +270,12 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
 
 
 def to_extracted(fetched: DataFrame, round_no: int) -> DataFrame:
+    """Every ATTEMPTED row (fetched or failed) becomes a fetch-results
+    row; consumers filter on the fetched flag.  Under the broadcast
+    fetch-join misses aren't rows at all (inner join), so there the
+    table contains successes only."""
     return (
-        fetched.filter(F.col("fetched"))
+        fetched
         .withColumn("round", F.lit(round_no))
         .withColumn("n_links", F.size("links").cast("int"))
         .select([f.name for f in EXTRACTED.fields])

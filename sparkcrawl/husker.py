@@ -15,8 +15,9 @@ UDF boundary — engine callers map them to status=ERROR rows.
 
 Selector syntax (frozen spec, CSS-ish subset):
   ``tag``, ``.cls``, ``#id``, ``tag.cls``, ``tag[attr]``,
-  ``tag[attr=value]``, and descendant chaining with spaces
-  (``div a[href]``).  ``*`` matches any tag.
+  ``tag[attr=value]``, descendant chaining with spaces
+  (``div a[href]``), and the direct-child combinator ``>``
+  (``ul > li``, space-separated).  ``*`` matches any tag.
 """
 
 from __future__ import annotations
@@ -167,19 +168,25 @@ def _match(el: Element, part: str) -> bool:
 
 
 def _select(root: Element, selector: str) -> List[Element]:
-    parts = selector.split()
+    tokens = selector.split()
     current = [root]
-    for part in parts:
+    direct = False  # next part matches direct children only ('>')
+    for part in tokens:
+        if part == ">":
+            direct = True
+            continue
         nxt: List[Element] = []
         seen = set()
         for base in current:
-            for el in base.iter():
-                if el is base:
-                    continue
+            pool = ((c for c in base.children if isinstance(c, Element))
+                    if direct else
+                    (el for el in base.iter() if el is not base))
+            for el in pool:
                 if _match(el, part) and id(el) not in seen:
                     seen.add(id(el))
                     nxt.append(el)
         current = nxt
+        direct = False
     return current
 
 
@@ -314,3 +321,142 @@ def parse(html) -> Husker:
     except Exception:
         pass
     return Husker(builder.root)
+
+
+# ======================================================================
+# JSON husker — the reference's Husker tree also works over JSON
+# documents; same selection semantics over a path spec instead of CSS.
+#
+# Frozen path spec: dot-separated object keys, ``[N]`` list index,
+# ``[*]`` list fan-out (``items[*].price`` selects every price).
+# Selection ops mirror the HTML Husker: one/some/all/any/first/last +
+# one_of/some_of; value ops .value/.text/.int/.float/.date()/.json.
+# ======================================================================
+
+_JSON_SEG = re.compile(r"^(?P<key>[^\[\]]*)(?P<idx>(\[(\d+|\*)\])*)$")
+_JSON_IDX = re.compile(r"\[(\d+|\*)\]")
+
+
+def _json_resolve(value, path: str) -> List:
+    cur = [value]
+    for seg in path.split("."):
+        m = _JSON_SEG.match(seg)
+        if not m:
+            return []
+        key = m.group("key")
+        if key:
+            cur = [v[key] for v in cur if isinstance(v, dict) and key in v]
+        for idx in _JSON_IDX.findall(m.group("idx") or ""):
+            nxt: List = []
+            for v in cur:
+                if not isinstance(v, list):
+                    continue
+                if idx == "*":
+                    nxt.extend(v)
+                elif int(idx) < len(v):
+                    nxt.append(v[int(idx)])
+            cur = nxt
+    return cur
+
+
+class JsonHusker:
+    """Selector handle over a parsed JSON value."""
+
+    def __init__(self, value) -> None:
+        self._v = value
+
+    # -- selection (same contracts as the HTML Husker) ------------------
+    def all(self, path: str) -> List["JsonHusker"]:
+        found = _json_resolve(self._v, path)
+        if not found:
+            raise HuskerMismatch(f"no match for {path!r}")
+        return [JsonHusker(v) for v in found]
+
+    def any(self, path: str) -> List["JsonHusker"]:
+        return [JsonHusker(v) for v in _json_resolve(self._v, path)]
+
+    def one(self, path: str) -> "JsonHusker":
+        found = _json_resolve(self._v, path)
+        if not found:
+            raise HuskerMismatch(f"no match for {path!r}")
+        if len(found) > 1:
+            raise HuskerNotUnique(f"{len(found)} matches for {path!r}")
+        return JsonHusker(found[0])
+
+    def some(self, path: str) -> Optional["JsonHusker"]:
+        found = _json_resolve(self._v, path)
+        if len(found) > 1:
+            raise HuskerNotUnique(f"{len(found)} matches for {path!r}")
+        return JsonHusker(found[0]) if found else None
+
+    def first(self, path: str) -> "JsonHusker":
+        return self.all(path)[0]
+
+    def last(self, path: str) -> "JsonHusker":
+        return self.all(path)[-1]
+
+    def one_of(self, *paths: str) -> "JsonHusker":
+        for p in paths:
+            found = _json_resolve(self._v, p)
+            if found:
+                if len(found) > 1:
+                    raise HuskerNotUnique(f"{len(found)} matches for {p!r}")
+                return JsonHusker(found[0])
+        raise HuskerMismatch(f"no match for any of {paths!r}")
+
+    def some_of(self, *paths: str) -> Optional["JsonHusker"]:
+        try:
+            return self.one_of(*paths)
+        except HuskerMismatch:
+            return None
+
+    # -- values ----------------------------------------------------------
+    @property
+    def value(self):
+        return self._v
+
+    @property
+    def json(self):
+        return self._v
+
+    @property
+    def text(self) -> str:
+        if self._v is None or isinstance(self._v, (dict, list)):
+            raise HuskerValueError(f"not a scalar: {type(self._v).__name__}")
+        return str(self._v)
+
+    @property
+    def int(self) -> int:
+        try:
+            if isinstance(self._v, bool):
+                raise ValueError
+            return (int(self._v) if isinstance(self._v, (int, float))
+                    else int(_NUM_CLEAN.sub("", str(self._v))))
+        except (TypeError, ValueError) as e:
+            raise HuskerValueError(f"not an int: {self._v!r}") from e
+
+    @property
+    def float(self) -> float:
+        try:
+            if isinstance(self._v, bool):
+                raise ValueError
+            return (float(self._v) if isinstance(self._v, (int, float))
+                    else float(_NUM_CLEAN.sub("", str(self._v))))
+        except (TypeError, ValueError) as e:
+            raise HuskerValueError(f"not a float: {self._v!r}") from e
+
+    def date(self, fmt: str = "%Y-%m-%d") -> "datetime.date":
+        try:
+            return datetime.datetime.strptime(self.text.strip(), fmt).date()
+        except (HuskerValueError, ValueError) as e:
+            raise HuskerValueError(f"not a {fmt!r} date: {self._v!r}") from e
+
+
+def parse_json(data) -> JsonHusker:
+    """bytes|str → JsonHusker; invalid JSON raises HuskerValueError."""
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).decode("utf-8", errors="replace")
+    try:
+        return JsonHusker(_json.loads(data))
+    except ValueError as e:
+        raise HuskerValueError("invalid JSON document") from e

@@ -50,6 +50,8 @@ class CrawlEngine:
         fetch_broadcast: bool = True,
         seen_filter: str = "bloom",
         compact_every: int = 0,
+        fetcher: str = "join",
+        http_opts: Optional[dict] = None,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -61,6 +63,13 @@ class CrawlEngine:
         self.bloom_capacity = bloom_capacity_per_bucket
         self.bloom_fpp = bloom_fpp
         self.fetch_broadcast = fetch_broadcast
+        # A10 backend: "join" = the sandbox pages-table join;
+        # "http" = real wire fetch (fetch_http.fetch_and_husk_http) —
+        # same output contract, so every downstream stage is shared.
+        if fetcher not in ("join", "http"):
+            raise ValueError(f"unknown fetcher {fetcher!r}")
+        self.fetcher = fetcher
+        self.http_opts = dict(http_opts or {})
         # A4 backend: per-partition Bloom (default) or Cuckoo filters —
         # the north rule names both; cuckoo adds deletion (re-crawl) and
         # better space below ~3% fpp at the 10^10-URL design point.
@@ -151,13 +160,13 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ bloom state
     def _update_blooms(self, new_rows: DataFrame, round_no: int) -> None:
-        """A4: per-host_bucket filter deltas built executor-side
-        (applyInPandas partial), then merged with the previous round's
-        blobs EXECUTOR-SIDE via a co-partitioned groupBy on the bucket id
-        — the distributed analog of a tree aggregation.  The driver never
-        materializes any blob: state flows seen-table → merge → seen-table
-        (round 1 held a driver dict of all blobs and broadcast it —
-        ~12 GB of driver heap + broadcast at the 10^10-URL design point).
+        """A4: per-host_bucket filter state extended EXECUTOR-SIDE in a
+        single cogrouped python stage — this round's new url hashes meet
+        their bucket's previous blob on the bucket id, and add_many
+        extends it in place.  The driver never materializes any blob:
+        state flows seen-table → extend → seen-table (round 1 held a
+        driver dict of all blobs and broadcast it — ~12 GB of driver
+        heap + broadcast at the 10^10-URL design point).
 
         Cuckoo backend overflow degrades gracefully: a bucket whose
         filter is over capacity is written as a SATURATED marker
@@ -167,44 +176,38 @@ class CrawlEngine:
         cap, fpp = self.bloom_capacity, self.bloom_fpp
         fmod = self._filter
 
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            bucket = int(pdf["host_bucket"].iloc[0])
-            try:
-                blob = fmod.add_many(fmod.create(cap, fpp),
-                                     pdf["url_hash"].to_numpy())
-                n = fmod.n_items(blob)
-            except OverflowError:
+        def build_merge(key, hashes_pdf: pd.DataFrame,
+                        prev_pdf: pd.DataFrame) -> pd.DataFrame:
+            # one python stage per bucket: build this round's delta from
+            # the raw hashes AND extend the previous blob, in place.
+            bucket = int(key[0])
+            prev_blob = (bytes(prev_pdf["bloom"].iloc[0])
+                         if len(prev_pdf) else None)
+            prev_saturated = bool(len(prev_pdf)
+                                  and int(prev_pdf["n_items"].iloc[0]) < 0)
+            if prev_saturated:
                 blob, n = b"", -1
+            else:
+                try:
+                    base = prev_blob if prev_blob else fmod.create(cap, fpp)
+                    blob = fmod.add_many(base, hashes_pdf["url_hash"].to_numpy())
+                    n = fmod.n_items(blob)
+                except OverflowError:
+                    # graceful saturation (cuckoo): the bucket degrades
+                    # to the exact anti-join path instead of aborting
+                    blob, n = b"", -1
             return pd.DataFrame({
                 "partition_id": [bucket], "round": [round_no],
                 "bloom": [blob], "n_items": [n], "fpp": [fpp],
             })
 
-        deltas = (new_rows.select("host_bucket", "url_hash")
-                  .groupBy("host_bucket").applyInPandas(build, SEEN_SET))
-        prev = self.seen.read(self.spark)
-
-        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            # ≤1 previous row + ≤1 delta row per bucket; sort by round so
-            # the merge order (prev ← delta) is deterministic (cuckoo
-            # kick sequences are order-sensitive)
-            pdf = pdf.sort_values("round")
-            out = pdf.iloc[[-1]].copy()
-            out["round"] = round_no
-            if (pdf["n_items"] < 0).any():
-                out["bloom"], out["n_items"] = [b""], [-1]
-                return out
-            blobs = [bytes(x) for x in pdf["bloom"]]
-            try:
-                merged = reduce(fmod.merge, blobs)
-                out["bloom"] = [merged]
-                out["n_items"] = [fmod.n_items(merged)]
-            except OverflowError:
-                out["bloom"], out["n_items"] = [b""], [-1]
-            return out
-
-        merged = (prev.unionByName(deltas)
-                  .groupBy("partition_id").applyInPandas(merge_group, SEEN_SET))
+        prev = self.seen.read(self.spark).select(
+            F.col("partition_id").alias("host_bucket"),
+            "round", "bloom", "n_items", "fpp")
+        merged = (new_rows.select("host_bucket", "url_hash")
+                  .groupBy("host_bucket")
+                  .cogroup(prev.groupBy("host_bucket"))
+                  .applyInPandas(build_merge, SEEN_SET))
         self.seen.replace(merged, round_no)
 
     def seen_blobs(self) -> Dict[int, bytes]:
@@ -256,33 +259,47 @@ class CrawlEngine:
                                         self.salt_buckets).persist()
 
         tp = mark("plan", tp)
-        # A10-A15: the one heavy pass — scan html, husk, write text+links.
-        fetched = fetch_and_husk(selected, self.pages,
-                                 broadcast_selected=self.fetch_broadcast)
+        # A10-A15: the one heavy pass — fetch html, husk, write text+links.
+        if self.fetcher == "http":
+            from .fetch_http import fetch_and_husk_http
+            fetched = fetch_and_husk_http(selected, **self.http_opts)
+        else:
+            fetched = fetch_and_husk(selected, self.pages,
+                                     broadcast_selected=self.fetch_broadcast)
         self.extracted.append(to_extracted(fetched, r), r)
         # column-pruned read-back of what was just written (url_hash/links/
         # n_links only — never text), shared by flog/discovery/metrics
         ext_r = self.extracted.read(spark).filter(F.col("round") == r)
-        ext_keys = ext_r.select("url_hash")
+        # successes drive discovery/metrics; all attempts drive fetchlog
+        ext_ok = ext_r.filter(F.col("fetched"))
+        ext_keys = ext_r.select("url_hash", "http_status", "fetched")
         tp = mark("fetch_extract_write", tp)
 
         # terminal statuses for everything leaving PENDING this round:
-        # FETCHED if the husk pass produced a row, ERROR otherwise
+        # FETCHED if the husk pass produced a row, ERROR otherwise.
+        # http_status rides along from the extracted read-back (real wire
+        # status under fetch_http; 200 under the fetch-join); misses are
+        # -1 (unreachable), robots-denied 0 (never attempted).
         flog = (
             selected.join(ext_keys.withColumn("_f", F.lit(True)),
                           "url_hash", "left")
             .select("url_hash", "host", "host_bucket",
                     F.lit(r).alias("round"),
-                    F.when(F.col("_f"), F.lit("FETCHED"))
-                    .otherwise(F.lit("ERROR")).alias("status"))
+                    F.when(F.col("_f") & F.col("fetched"), F.lit("FETCHED"))
+                    .otherwise(F.lit("ERROR")).alias("status"),
+                    F.when(F.col("_f"), F.col("http_status"))
+                    .otherwise(F.lit(-1)).cast("int").alias("http_status"),
+                    F.lit(1).cast("int").alias("attempts"))
             .unionByName(denied.select(
                 "url_hash", "host", "host_bucket",
                 F.lit(r).alias("round"),
-                F.lit("ROBOTS_DENIED").alias("status")))
+                F.lit("ROBOTS_DENIED").alias("status"),
+                F.lit(0).cast("int").alias("http_status"),
+                F.lit(0).cast("int").alias("attempts")))
         )
         # discover → dedupe (bloom fast-path + exact anti-join)
         frontier_all = self.frontier.read(spark)
-        cands = discover_links(ext_r, r, self.n_buckets).persist()
+        cands = discover_links(ext_ok, r, self.n_buckets).persist()
         # per-bucket filter blobs stay in the seen table; candidates meet
         # them bucket-co-partitioned inside probe_seen (no driver state,
         # no full-blob broadcast)
@@ -313,7 +330,7 @@ class CrawlEngine:
             def collect_stats():
                 # one union-agg job instead of four separate collects
                 hb = F.col("host_bucket")
-                ext_j = ext_r.join(selected.select("url_hash", "host_bucket"),
+                ext_j = ext_ok.join(selected.select("url_hash", "host_bucket"),
                                    "url_hash")
                 u = (selected.select(hb, F.lit("sel").alias("t"),
                                      F.lit(1).cast("long").alias("v"))

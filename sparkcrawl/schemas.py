@@ -82,7 +82,10 @@ METRICS = T.StructType(
     ]
 )
 
-# fetched+extracted page output per round.
+# fetched+extracted page output per round.  http_status/final_url carry
+# HTTP-layer semantics (redirect chains land on final_url ≠ url_canon);
+# the sandbox fetch-join synthesizes 200/url_canon, the real
+# fetch_http path fills them from the wire.
 EXTRACTED = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -95,11 +98,20 @@ EXTRACTED = T.StructType(
         T.StructField("lang", T.StringType(), True),
         T.StructField("n_links", T.IntegerType(), False),
         T.StructField("links", T.ArrayType(T.StringType()), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("final_url", T.StringType(), True),
+        # the table records every ATTEMPTED fetch (a fetch-results log);
+        # rows with fetched=false carry the failure's http_status and no
+        # text/links.  The broadcast fetch-join can't surface misses
+        # (inner join), so there they appear only in fetchlog as ERROR.
+        T.StructField("fetched", T.BooleanType(), False),
     ]
 )
 
 # terminal status log: one row per URL leaving PENDING
 # (status ∈ FETCHED|ROBOTS_DENIED|ERROR; at most one row per url_hash).
+# http_status: 200.. from the wire (join mode: 200), -1 unreachable/miss,
+# 0 never attempted (robots).  attempts: fetch attempts incl. retries.
 FETCHLOG = T.StructType(
     [
         T.StructField("url_hash", T.LongType(), False),
@@ -107,5 +119,7 @@ FETCHLOG = T.StructType(
         T.StructField("host_bucket", T.IntegerType(), False),
         T.StructField("round", T.IntegerType(), False),
         T.StructField("status", T.StringType(), False),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("attempts", T.IntegerType(), True),
     ]
 )

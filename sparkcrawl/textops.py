@@ -542,6 +542,96 @@ def text_lang_id(spark, sf):
         .otherwise("und").alias("lang_pred"))
 
 
+@q("dedup_lines_boilerplate", """
+WITH segs AS (
+  SELECT doc_id, unnest(list_transform(
+    range(CAST(CEIL(len(ws) / 8.0) AS BIGINT)),
+    i -> array_to_string(list_slice(ws, i * 8 + 1,
+                                    LEAST((i + 1) * 8, len(ws))), ' '))) AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+seg_docs AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       ROUND(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS boilerplate_frac
+FROM segs s JOIN seg_docs d USING (seg)
+GROUP BY s.doc_id
+""")
+def dedup_lines_boilerplate(spark, sf):
+    """CCNet-style segment-level dedup: split each doc into consecutive
+    non-overlapping 8-word segments, count how many DISTINCT docs each
+    segment appears in, and score each doc's boilerplate fraction
+    (segments shared with ≥1 other doc).  Two shuffles (segment count,
+    per-doc rollup), both map-side combinable; the segment explode is
+    array-op only.  At 100 TB: hash segments (xxhash64) instead of
+    carrying strings, and threshold ndocs higher."""
+    d = t(spark, sf, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("_ws"))
+    arr = F.col("_ws")
+    nseg = F.ceil(F.size(arr) / 8.0).cast("long")
+    segs = base.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), nseg),
+            lambda i: F.array_join(
+                F.slice(arr, (i - 1) * 8 + 1, 8), " "))).alias("seg"))
+    seg_docs = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("ndocs"))
+    flagged = segs.join(seg_docs, "seg")
+    boiler = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_segments"),
+                 boiler.cast("long").alias("n_boilerplate"),
+                 F.round(boiler / F.count("*"), 4).alias("boilerplate_frac")))
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@q("text_pii_scrub", f"""
+WITH enriched AS (
+  SELECT doc_id,
+         'u' || doc_id || '@mail' || doc_id % 5 || '.example ' || text
+         || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INT) AS n_phones
+FROM enriched
+""")
+def text_pii_scrub(spark, sf):
+    """PII scrubbing (training-data staple): redact emails/phone numbers
+    with shared regexes, counting redactions.  The documents corpus has
+    no organic PII, so deterministic PII is composed on per doc_id (the
+    oracle composes identically) — the operator under test is the scrub
+    itself, all JVM-side regexp builtins."""
+    d = t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("u"), F.col("doc_id"), F.lit("@mail"), F.col("doc_id") % 5,
+        F.lit(".example "), F.col("text"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+    enriched = d.select("doc_id", raw.alias("raw"))
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>").alias("scrubbed"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL), 0))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE), 0))
+        .alias("n_phones"))
+
+
 @q("text_fingerprint_winnow", f"""
 WITH grams AS (
   SELECT doc_id, i, md5(w || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh

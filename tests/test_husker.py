@@ -129,3 +129,40 @@ def test_one_of_multi_spec_alternatives():
         doc.one_of("div#nope", "h1.missing")
     with pytest.raises(HuskerNotUnique):
         doc.one_of("span")  # two spans
+
+
+def test_json_husker_paths_and_values():
+    import pytest
+
+    from sparkcrawl.husker import (HuskerMismatch, HuskerNotUnique,
+                                   HuskerValueError, parse_json)
+    d = parse_json(b'{"sku": 7, "price": {"amount": "1,234.56"},'
+                   b' "tags": ["a", "b"],'
+                   b' "variants": [{"qty": 3}, {"qty": 9}],'
+                   b' "name": {"title": "Product 7"}}')
+    assert d.one("sku").int == 7
+    assert d.one("price.amount").float == 1234.56
+    assert [t.text for t in d.all("tags[*]")] == ["a", "b"]
+    assert d.one("variants[0].qty").int == 3
+    assert d.last("variants[*].qty").int == 9
+    assert sum(v.int for v in d.all("variants[*].qty")) == 12
+    assert d.one_of("name.display", "name.title").text == "Product 7"
+    assert d.some("missing.path") is None
+    assert d.one("price").json == {"amount": "1,234.56"}
+    with pytest.raises(HuskerMismatch):
+        d.one("nope")
+    with pytest.raises(HuskerNotUnique):
+        d.one("variants[*].qty")
+    with pytest.raises(HuskerValueError):
+        parse_json(b"{not json")
+    with pytest.raises(HuskerValueError):
+        d.one("price").text  # containers have no .text
+
+
+def test_child_combinator():
+    doc = parse(b'<div class="a"><p>direct</p><span><p>nested</p></span>'
+                b"</div><p>outside</p>")
+    assert [h.text for h in doc.any("div.a > p")] == ["direct"]
+    assert sorted(h.text for h in doc.any("div.a p")) == ["direct", "nested"]
+    assert doc.one("span > p").text == "nested"
+    assert doc.any("span > div") == []
