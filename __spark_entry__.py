@@ -61,6 +61,7 @@ _PRIORITY = [
     # -- round-2 additions --
     "husker_value_ops", "husker_json_fields",
     "dedup_lines_boilerplate", "text_pii_scrub",
+    "text_quality_filter_chain", "sample_stratified", "text_ngram_topk",
 ]
 
 

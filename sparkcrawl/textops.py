@@ -632,6 +632,95 @@ def text_pii_scrub(spark, sf):
         .alias("n_phones"))
 
 
+@q("text_quality_filter_chain", """
+WITH q AS (
+  SELECT doc_id, text, lang, LENGTH(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         md5(text) AS h
+  FROM documents),
+keep AS (
+  SELECT *,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
+              THEN 1 ELSE 0 END AS is_canonical
+  FROM q)
+SELECT doc_id, lang, n_words,
+       CAST(is_canonical AS INT) AS dedup_keep,
+       CAST(CASE WHEN n_words >= 20 AND n_chars >= 100
+                 AND n_chars * 1.0 / n_words <= 12 THEN 1 ELSE 0 END
+            AS INT) AS quality_keep,
+       CAST(CASE WHEN lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END
+            AS INT) AS lang_keep,
+       CAST(CASE WHEN is_canonical = 1 AND n_words >= 20 AND n_chars >= 100
+                 AND n_chars * 1.0 / n_words <= 12
+                 AND lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END
+            AS INT) AS final_keep
+FROM keep
+""")
+def text_quality_filter_chain(spark, sf):
+    """The C4-style end-to-end filter chain — exact-dedup keep ∧ length/
+    word-shape quality gates ∧ language allowlist — composed as ONE
+    declarative plan (each gate is a column, the chain is their
+    conjunction), so Catalyst fuses the whole thing into a single
+    scan + one hash shuffle (the dedup window)."""
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("h")
+    q_ = d.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5(F.encode("text", "UTF-8")).alias("h"))
+    keep = q_.withColumn(
+        "is_canonical",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1).otherwise(0))
+    quality = ((F.col("n_words") >= 20) & (F.col("n_chars") >= 100)
+               & (F.col("n_chars") / F.col("n_words") <= 12))
+    langok = F.col("lang").isin("en", "es", "de")
+    return keep.select(
+        "doc_id", "lang", "n_words",
+        F.col("is_canonical").cast("int").alias("dedup_keep"),
+        F.when(quality, 1).otherwise(0).cast("int").alias("quality_keep"),
+        F.when(langok, 1).otherwise(0).cast("int").alias("lang_keep"),
+        F.when((F.col("is_canonical") == 1) & quality & langok, 1)
+        .otherwise(0).cast("int").alias("final_keep"))
+
+
+@q("sample_stratified", """
+SELECT doc_id, lang FROM documents
+WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || lang),
+                               1, 8)) AS BIGINT) % 10 < 3
+""")
+def sample_stratified(spark, sf):
+    """Deterministic stratified sampling (reproducible train-set cuts):
+    keep a row iff a hash of (doc_id, stratum) falls in the first 3 of
+    10 hash slots — seedable, engine-independent (md5 prefix, identical
+    in both engines), no RNG state, map-side only (no shuffle)."""
+    d = t(spark, sf, "documents")
+    slot = F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "lang"),
+        "UTF-8")), 1, 8), 16, 10).cast("long") % 10
+    return d.filter(slot < 3).select("doc_id", "lang")
+
+
+@q("text_ngram_topk", f"""
+SELECT g, n FROM (
+  SELECT g, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, g) AS rk
+  FROM ({_TRIGRAMS_SQL}) GROUP BY g
+) WHERE rk <= 50
+""")
+def text_ngram_topk(spark, sf):
+    """Corpus-wide n-gram statistics (LM data profiling): global top-50
+    word trigrams by frequency.  Count combines map-side; the final
+    top-k is one single-partition window over ONLY the pre-aggregated
+    distinct grams (not the corpus) — at 100 TB cap with a per-partition
+    top-k before the final merge."""
+    tri = _trigrams(t(spark, sf, "documents"))
+    counts = tri.groupBy("g").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "g")
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 50).select("g", "n"))
+
+
 @q("text_fingerprint_winnow", f"""
 WITH grams AS (
   SELECT doc_id, i, md5(w || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh
