@@ -48,6 +48,41 @@ def windowed_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    escape hatch for semantics window/session aggs can't express):
+    per-user running totals carried in explicit group state across
+    micro-batches — the shape a crawl-rate monitor / per-host budget
+    tracker takes on a true stream.  Emits the updated running total
+    for each user seen in the batch ('update' semantics: the LAST row
+    per user is the final answer, asserted ≡ batch groupBy in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, v))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(v, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+
+
 def session_counts(events: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Session-window counts per user (stateful session merge on stream)."""
@@ -60,14 +95,15 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
 
 
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
-                      query_name: str = "sparkcrawl_stream"):
+                      query_name: str = "sparkcrawl_stream",
+                      output_mode: str = "complete"):
     """Drain the whole source as micro-batches into an in-memory sink and
     block until done; returns the StreamingQuery (results via
     ``spark.table(query_name)``)."""
     query = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

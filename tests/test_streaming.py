@@ -33,3 +33,45 @@ def test_stream_equals_batch(spark, tmp_path, agg, name):
     want = _collect_sorted(agg(spark.read.parquet(f"{SF}/events.parquet")))
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_user_totals_equals_batch(spark, tmp_path):
+    """applyInPandasWithState across MULTIPLE micro-batches: running
+    per-user totals carried in group state; the last emitted row per
+    user must equal the batch groupBy."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "events_multi"
+    src_dir.mkdir()
+    # split events into 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.parquet(str(src_dir / f"chunk{i}"))
+    # file source needs a flat dir of files
+    import glob
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for j, f in enumerate(sorted(glob.glob(str(src_dir / "chunk*/part-*.parquet")))):
+        shutil.copy(f, flat / f"part-{j}.parquet")
+
+    stream = streaming.read_event_stream(spark, str(flat),
+                                         max_files_per_trigger=1)
+    streaming.run_available_now(
+        streaming.stateful_user_totals(stream),
+        str(tmp_path / "ckpt"), "user_totals", output_mode="update")
+    out = spark.table("user_totals").toPandas()
+    # 'update' emits one row per user per touching batch; last wins
+    got = (out.groupby("user_id").last()
+           .reset_index().sort_values("user_id"))
+    want = (events.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2)
+                 .alias("total_value"))
+            .orderBy("user_id").toPandas())
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["n_events"]) == list(want["n_events"])
+    assert [round(x, 2) for x in got["total_value"]] == \
+        [round(x, 2) for x in want["total_value"]]
