@@ -266,10 +266,12 @@ class CrawlEngine:
         else:
             fetched = fetch_and_husk(selected, self.pages,
                                      broadcast_selected=self.fetch_broadcast)
-        self.extracted.append(to_extracted(fetched, r), r)
-        # column-pruned read-back of what was just written (url_hash/links/
-        # n_links only — never text), shared by flog/discovery/metrics
-        ext_r = self.extracted.read(spark).filter(F.col("round") == r)
+        ext_sid = self.extracted.append(to_extracted(fetched, r), r)
+        # column-pruned INCREMENTAL read-back of just-written files
+        # (url_hash/links/n_links only — never text), shared by
+        # flog/discovery/metrics; a full table read would list every
+        # prior round's files (O(rounds) listing growth)
+        ext_r = self.extracted.read_new(spark, ext_sid)
         # successes drive discovery/metrics; all attempts drive fetchlog
         ext_ok = ext_r.filter(F.col("fetched"))
         ext_keys = ext_r.select("url_hash", "http_status", "fetched")

@@ -152,6 +152,34 @@ class IcebergishTable:
         # partition column comes back from dir names; keep declared order
         return self.schema
 
+    def read_new(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Scan ONLY the data dirs that snapshot *snapshot_id* added over
+        its parent (Iceberg's incremental-scan shape).  The engine's
+        round loop reads back what it just appended — a full read() would
+        list every snapshot's files, growing O(rounds)."""
+        manifest = self.manifest_for(snapshot_id)
+        parent_dirs = set()
+        if manifest.get("parent") is not None:
+            parent_dirs = set(self.manifest_for(manifest["parent"])["data_dirs"])
+        dirs = [d for d in manifest["data_dirs"] if d not in parent_dirs]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: snapshot {snapshot_id} references missing "
+                f"data dirs {missing}")
+        if not dirs:
+            return spark.createDataFrame([], self.schema)
+        parts = [
+            spark.read.option("basePath", d).schema(self._read_schema())
+            .parquet(d) if self.partition_by else
+            spark.read.schema(self.schema).parquet(d)
+            for d in dirs
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def compact(self, spark: SparkSession, round_no: int) -> int:
         """Rewrite the current table contents as ONE snapshot (the Iceberg
         `rewrite_data_files` maintenance action): append-heavy tables

@@ -106,3 +106,15 @@ def test_read_expired_snapshot_raises(spark, table):
     table.gc_unreachable(sid)
     with pytest.raises(FileNotFoundError, match="missing data dirs"):
         table.read(spark, snapshot_id=old_sid)
+
+
+def test_read_new_is_incremental(spark, table):
+    """read_new(sid) scans only the files snapshot sid added — the
+    round loop's read-back must not grow with table history."""
+    s1 = table.append(_df(spark, 0, 10), 1)
+    s2 = table.append(_df(spark, 10, 25), 2)
+    assert table.read_new(spark, s1).count() == 10
+    assert table.read_new(spark, s2).count() == 15
+    assert sorted(r["k"] for r in table.read_new(spark, s2).collect()) == \
+        list(range(10, 25))
+    assert table.read(spark).count() == 25
