@@ -818,18 +818,36 @@ def multimodal_features(spark, sf):
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            means, stds, ents = [], [], []
-            for payload in b["payload"]:
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if arr.size == 0:
-                    means.append(0.0); stds.append(0.0); ents.append(0.0)
-                    continue
-                counts = np.bincount(arr, minlength=256) / arr.size
-                nz = counts[counts > 0]
-                means.append(round(float(arr.mean()), 6))
-                stds.append(round(float(arr.std()), 6))
-                ents.append(round(float(-(nz * np.log2(nz)).sum()), 6))
-            yield pd.DataFrame({"doc_id": b["doc_id"], "byte_mean": means,
-                                "byte_std": stds, "entropyish": ents})
+            # one vectorized pass over the whole Arrow batch: concatenate
+            # payloads, build a (row × 256) histogram with a single
+            # bincount over row_idx*256+byte, derive mean/std/entropy
+            # from the histogram (no per-payload python loop)
+            payloads = [bytes(p) for p in b["payload"]]
+            sizes = np.array([len(p) for p in payloads], dtype=np.int64)
+            n_rows = len(payloads)
+            hist = np.zeros((n_rows, 256), dtype=np.int64)
+            if sizes.sum():
+                flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                row_idx = np.repeat(np.arange(n_rows), sizes)
+                hist = np.bincount(
+                    row_idx * 256 + flat.astype(np.int64),
+                    minlength=n_rows * 256).reshape(n_rows, 256)
+            safe = np.maximum(sizes, 1).astype(np.float64)
+            vals = np.arange(256, dtype=np.float64)
+            mean = (hist @ vals) / safe
+            var = (hist @ (vals ** 2)) / safe - mean ** 2
+            p = hist / safe[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                plogp = np.where(p > 0, p * np.log2(p), 0.0)
+            ent = -plogp.sum(axis=1)
+            empty = sizes == 0
+            mean[empty] = 0.0
+            var[empty] = 0.0
+            ent[empty] = 0.0
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "byte_mean": np.round(mean, 6),
+                "byte_std": np.round(np.sqrt(np.maximum(var, 0.0)), 6),
+                "entropyish": np.round(ent, 6)})
 
     return d.mapInPandas(feats, schema)
