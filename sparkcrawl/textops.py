@@ -156,24 +156,35 @@ def _minhash_bands(spark, sf) -> DataFrame:
     )
 
 
-@q("dedup_minhash_lsh_pairs", f"""
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
-  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-""")
-def dedup_minhash_lsh_pairs(spark, sf):
-    """LSH banding (4 bands × 2 rows): candidate near-dup pairs share a
-    band hash.  Pairs are generated by grouping doc_ids per (band, bh)
-    and exploding in-bucket combinations — the signature pipeline runs
-    ONCE (a self-join would re-execute the whole shingle→minhash chain
-    for each side), and candidates co-locate in one shuffle on the band
-    hash instead of an O(n²) compare.  Memory per group is O(bucket)
-    8-byte ids; band buckets are near-dup clusters, so a bucket large
-    enough to matter is itself the signal (cap + log at 100 TB)."""
-    bands = _minhash_bands(spark, sf)
+LSH_BUCKET_CAP = 2000  # per-(band,bh) membership cap (deterministic: lowest doc_ids)
+
+# oracle mirror of the cap: lowest LSH_BUCKET_CAP doc_ids per (band, bh)
+_CAPPED_BANDS_SQL = f"""
+  SELECT doc_id, band, bh FROM (
+    SELECT doc_id, band, bh,
+           ROW_NUMBER() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rnk
+    FROM ({_BANDS_SQL})) WHERE rnk <= {LSH_BUCKET_CAP}
+"""
+
+_LSH_PAIRS_SQL = f"""
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ({_CAPPED_BANDS_SQL}) a JOIN ({_CAPPED_BANDS_SQL}) b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def _lsh_pairs_from_bands(bands: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """In-bucket pair explode with a deterministic membership cap: each
+    (band, bh) bucket keeps its ``cap`` LOWEST doc_ids (slice of the
+    already-sorted collect_list — no extra window/shuffle), so a
+    degenerate bucket (mass-duplicated boilerplate) materializes at most
+    cap·(cap−1)/2 pairs in one task instead of O(|bucket|²).  A bucket
+    that hits the cap is itself a dedup signal — `lsh_capped_buckets`
+    surfaces those for logging/alerting."""
     grouped = (bands.groupBy("band", "bh")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") >= 2))
+               .filter(F.size("ids") >= 2)
+               .select(F.slice("ids", 1, cap).alias("ids")))
     ids = F.col("ids")
     pair_arrays = F.transform(
         ids, lambda x, i: F.transform(
@@ -181,6 +192,30 @@ def dedup_minhash_lsh_pairs(spark, sf):
             lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))))
     return (grouped.select(F.explode(F.flatten(pair_arrays)).alias("pr"))
             .select("pr.doc_a", "pr.doc_b").distinct())
+
+
+def lsh_capped_buckets(spark, sf, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """(band, bh, n_docs) for buckets whose membership exceeds ``cap`` —
+    the operational signal that boilerplate-degenerate near-dup clusters
+    exist (at 100 TB: route these to exact dedup, don't pairwise them)."""
+    return (_minhash_bands(spark, sf)
+            .groupBy("band", "bh").agg(F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") > cap))
+
+
+@q("dedup_minhash_lsh_pairs", _LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark, sf):
+    """LSH banding (4 bands × 2 rows): candidate near-dup pairs share a
+    band hash.  Pairs are generated by grouping doc_ids per (band, bh)
+    and exploding in-bucket combinations — the signature pipeline runs
+    ONCE (a self-join would re-execute the whole shingle→minhash chain
+    for each side), and candidates co-locate in one shuffle on the band
+    hash instead of an O(n²) compare.  Bucket membership is capped
+    deterministically at LSH_BUCKET_CAP lowest doc_ids (oracle mirrors
+    the cap via ROW_NUMBER) so one degenerate bucket can't OOM a task;
+    collect_list cost stays O(bucket) 8-byte ids, the quadratic pair
+    explode is bounded by the cap."""
+    return _lsh_pairs_from_bands(_minhash_bands(spark, sf))
 
 
 @q("dedup_simhash", """
@@ -220,10 +255,7 @@ def dedup_simhash(spark, sf):
 @q("dedup_ngram_jaccard", f"""
 WITH tri AS (SELECT DISTINCT doc_id, g FROM ({_TRIGRAMS_SQL})),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY doc_id),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ({_BANDS_SQL}) a JOIN ({_BANDS_SQL}) b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+cand AS ({_LSH_PAIRS_SQL}),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS i
   FROM cand c JOIN tri ta ON ta.doc_id = c.doc_a
@@ -296,11 +328,18 @@ def _cos_col(a, b):
     return (_dot(a, b) / F.sqrt(_dot(a, a)) / F.sqrt(_dot(b, b)))
 
 
-def _coord_bucket(vec) -> "F.Column":
-    """Sign-bit LSH bucket (6 bits) from coordinate-difference
-    hyperplanes — mirrors _COORD_BUCKET_SQL exactly."""
+COSINE_BUCKET_BITS = 6  # oracle-matched default; widen to ~log2(n/target) at scale
+
+
+def _coord_bucket(vec, bits: int = COSINE_BUCKET_BITS) -> "F.Column":
+    """Sign-bit LSH bucket from coordinate-difference hyperplanes —
+    mirrors _COORD_BUCKET_SQL exactly at the default ``bits``.  Each
+    extra bit REFINES the bucketing (bucket_{b+1} agrees on the first b
+    bits), so block size is bounded by design: pick bits ≈
+    log2(n / target_block) and the pair set shrinks monotonically
+    (pairs(b+1) ⊆ pairs(b)) — pinned by test_cosine_bits_refine."""
     b = F.lit(0)
-    for i in range(6):
+    for i in range(bits):
         b = b + F.when(F.element_at(vec, 2 * i + 1)
                        > F.element_at(vec, 2 * i + 2),
                        F.lit(1 << i)).otherwise(F.lit(0))
@@ -310,14 +349,17 @@ def _coord_bucket(vec) -> "F.Column":
 @q("dedup_embedding_cosine", f"""
 SELECT vec_a, vec_b, cos FROM ({_COS_PAIR_SQL}) WHERE cos >= 0.4
 """)
-def dedup_embedding_cosine(spark, sf):
+def dedup_embedding_cosine(spark, sf, bits: int = COSINE_BUCKET_BITS):
     """Embedding-cosine near-dup pairs, blocked by a sign-bit LSH bucket
     (coordinate-difference hyperplanes — cosine-similar vectors collide;
-    the round-1 label blocking didn't bound block size at scale).  At
-    100 TB widen to ~log2(n/target_bucket) bits.  Dot products are
-    sequential double folds → bit-stable across engines."""
+    the round-1 label blocking didn't bound block size at scale).
+    ``bits`` parameterizes block granularity: 6 matches the oracle
+    (64 buckets at test SF); at 100 TB set ~log2(n/target_bucket) —
+    wider buckets are a strict refinement so recall only moves through
+    the documented LSH trade-off, never through unbounded blocks.  Dot
+    products are sequential double folds → bit-stable across engines."""
     e = t(spark, sf, "embeddings").withColumn(
-        "bkt", _coord_bucket(F.col("embedding")))
+        "bkt", _coord_bucket(F.col("embedding"), bits))
     a = e.select(F.col("vec_id").alias("vec_a"),
                  F.col("embedding").alias("ea"), "bkt")
     b = e.select(F.col("vec_id").alias("vec_b"),
@@ -552,10 +594,10 @@ def text_lang_id(spark, sf):
 
 @q("dedup_lines_boilerplate", """
 WITH segs AS (
-  SELECT doc_id, unnest(list_transform(
+  SELECT doc_id, md5(unnest(list_transform(
     range(CAST(CEIL(len(ws) / 8.0) AS BIGINT)),
     i -> array_to_string(list_slice(ws, i * 8 + 1,
-                                    LEAST((i + 1) * 8, len(ws))), ' '))) AS seg
+                                    LEAST((i + 1) * 8, len(ws))), ' ')))) AS seg
   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
 seg_docs AS (
   SELECT seg, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY seg)
@@ -571,11 +613,13 @@ GROUP BY s.doc_id
 def dedup_lines_boilerplate(spark, sf):
     """CCNet-style segment-level dedup: split each doc into consecutive
     non-overlapping 8-word segments, count how many DISTINCT docs each
-    segment appears in, and score each doc's boilerplate fraction
-    (segments shared with ≥1 other doc).  Two shuffles (segment count,
-    per-doc rollup), both map-side combinable; the segment explode is
-    array-op only.  At 100 TB: hash segments (xxhash64) instead of
-    carrying strings, and threshold ndocs higher."""
+    segment HASH appears in, and score each doc's boilerplate fraction
+    (segments shared with ≥1 other doc).  Segments are hashed map-side
+    (md5 for oracle parity; xxhash64 at 100 TB) BEFORE the shuffle, so
+    the two shuffles (segment count, per-doc rollup) carry fixed 32-byte
+    keys instead of raw 8-word strings — several-fold fewer shuffle
+    bytes.  Both aggregations combine map-side; the segment explode is
+    array-op only."""
     d = t(spark, sf, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("_ws"))
     arr = F.col("_ws")
@@ -584,8 +628,9 @@ def dedup_lines_boilerplate(spark, sf):
         "doc_id",
         F.explode(F.transform(
             F.sequence(F.lit(1), nseg),
-            lambda i: F.array_join(
-                F.slice(arr, (i - 1) * 8 + 1, 8), " "))).alias("seg"))
+            lambda i: F.md5(F.encode(F.array_join(
+                F.slice(arr, (i - 1) * 8 + 1, 8), " "), "UTF-8"))))
+        .alias("seg"))
     seg_docs = segs.groupBy("seg").agg(
         F.countDistinct("doc_id").alias("ndocs"))
     flagged = segs.join(seg_docs, "seg")
@@ -718,14 +763,23 @@ SELECT g, n FROM (
 """)
 def text_ngram_topk(spark, sf):
     """Corpus-wide n-gram statistics (LM data profiling): global top-50
-    word trigrams by frequency.  Count combines map-side; the final
-    top-k is one single-partition window over ONLY the pre-aggregated
-    distinct grams (not the corpus) — at 100 TB cap with a per-partition
-    top-k before the final merge."""
+    word trigrams by frequency, in TWO phases: rank within a hash bucket
+    of the gram first (parallel windows, ≤50 survivors per bucket), then
+    one tiny single-partition window over ≤50×64 survivors.  The global
+    top-50 grams each live in exactly one bucket and are necessarily in
+    that bucket's top-50, so the result is identical to the naive global
+    window — but no task ever sorts the full distinct-gram set (billions
+    at 100 TB).  Spark 4's WindowGroupLimit additionally prunes rank≤50
+    map-side before the bucket shuffle."""
     tri = _trigrams(t(spark, sf, "documents"))
     counts = tri.groupBy("g").agg(F.count("*").alias("n"))
+    bkt = F.pmod(F.xxhash64("g"), F.lit(64))
+    wb = Window.partitionBy("_bkt").orderBy(F.col("n").desc(), "g")
+    pre = (counts.withColumn("_bkt", bkt)
+           .withColumn("_rk", F.row_number().over(wb))
+           .filter(F.col("_rk") <= 50).drop("_bkt", "_rk"))
     w = Window.orderBy(F.col("n").desc(), "g")
-    return (counts.withColumn("rk", F.row_number().over(w))
+    return (pre.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 50).select("g", "n"))
 
 

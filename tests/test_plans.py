@@ -123,6 +123,20 @@ def test_lsh_pairs_single_signature_computation(spark):
     assert "Window" not in plan
 
 
+def test_ngram_topk_two_phase(spark):
+    """The global top-50 must be computed in two phases: a hash-bucket
+    pre-rank (parallel windows, rank≤50 pruned map-side) feeding one
+    tiny final window — never a single-partition window over the full
+    distinct-gram set."""
+    plan = plan_of(QUERIES["text_ngram_topk"](spark, SF))
+    assert "_bkt" in plan  # the gram hash bucket drives the pre-rank window
+    # rank<=50 pruned map-side BEFORE the bucket shuffle
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the final global sort sees only the <=50×64 survivors: Catalyst
+    # plans it as a bounded TakeOrderedAndProject, not a 1-partition sort
+    assert "TakeOrderedAndProject(limit=50" in plan
+
+
 def test_jaccard_candidates_are_lsh_not_allpairs(spark):
     """dedup_ngram_jaccard joins only on candidate doc ids / shingles —
     no theta/cross join over unbounded blocks."""

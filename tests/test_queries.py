@@ -57,6 +57,43 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall@5 {recall:.3f} below 0.9 bar"
 
 
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """A degenerate (band,bh) bucket must explode at most cap·(cap−1)/2
+    pairs — the cap keeps the LOWEST doc_ids deterministically, and
+    normal buckets are untouched."""
+    from sparkcrawl.textops import _lsh_pairs_from_bands
+    rows = ([(i, 0, "degenerate") for i in range(100)]
+            + [(200, 1, "normal"), (201, 1, "normal")])
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bh string")
+    pairs = {(r.doc_a, r.doc_b)
+             for r in _lsh_pairs_from_bands(bands, cap=10).collect()}
+    bucket0 = {p for p in pairs if p[0] < 200}
+    assert len(bucket0) == 45  # 10·9/2, not 100·99/2
+    assert max(b for _, b in bucket0) == 9  # lowest doc_ids survive the cap
+    assert (200, 201) in pairs  # sub-cap bucket unaffected
+
+
+def test_lsh_capped_buckets_signal(spark):
+    """The over-cap bucket report: empty at the default cap on testdata,
+    non-empty once the cap is tightened below real bucket sizes."""
+    from sparkcrawl.textops import lsh_capped_buckets
+    assert lsh_capped_buckets(spark, SF).count() == 0
+    assert lsh_capped_buckets(spark, SF, cap=1).count() > 0
+
+
+def test_cosine_bits_refine(spark):
+    """Each extra blocking bit refines the bucketing: the pair set at
+    bits=8 must be a subset of the pair set at the oracle default 6 —
+    widening bits for scale can only shrink blocks, never corrupt."""
+    from sparkcrawl.textops import dedup_embedding_cosine
+    p6 = {(r.vec_a, r.vec_b)
+          for r in dedup_embedding_cosine(spark, SF, bits=6).collect()}
+    p8 = {(r.vec_a, r.vec_b)
+          for r in dedup_embedding_cosine(spark, SF, bits=8).collect()}
+    assert p6, "default blocking found no pairs on testdata"
+    assert p8 <= p6
+
+
 def test_bloom_probe_no_false_negatives(spark):
     """Exactness contract: every even doc (inserted) must probe maybe_seen."""
     rows = Q["crawl_seen_bloom_probe"](spark, SF).collect()
