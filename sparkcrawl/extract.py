@@ -19,7 +19,9 @@ Frozen extraction spec (A11 "husk" + A12 "clean")
       ``<meta charset=…>`` / ``<meta http-equiv … charset=…>``
       declaration (first match wins, case-insensitive)
    c. declared labels normalize per the WHATWG quirks: gb2312→gbk;
-      ascii/us-ascii/iso-8859-1/latin(-)1 → windows-1252
+      ascii/us-ascii/iso-8859-1/latin(-)1 → windows-1252;
+      utf-16/utf-32 labels → utf-8 (an ASCII-readable meta tag can't be
+      in a real UTF-16/32 document — those carry a BOM, step 1a)
    d. unknown/undeclared charset falls back to UTF-8
    e. decoding always uses errors='replace' (never raises)
 2. parse with html.parser (convert_charrefs=True ⇒ entities decoded)
@@ -113,7 +115,9 @@ _BOMS: Tuple[Tuple[bytes, str], ...] = (
 
 # WHATWG encoding-label quirks (the subset that matters for crawl HTML):
 # pages labeled gb2312 routinely use GBK extensions; ascii/latin-1 labels
-# mean windows-1252 on the real web.
+# mean windows-1252 on the real web; a meta tag READABLE AS ASCII cannot
+# be inside a genuine UTF-16/32 document, so WHATWG maps those labels to
+# UTF-8 (real UTF-16/32 pages are caught by their BOM in step 1a).
 _CHARSET_ALIASES = {
     "gb2312": "gbk",
     "ascii": "windows-1252",
@@ -121,6 +125,12 @@ _CHARSET_ALIASES = {
     "iso-8859-1": "windows-1252",
     "latin-1": "windows-1252",
     "latin1": "windows-1252",
+    "utf-16": "utf-8",
+    "utf-16le": "utf-8",
+    "utf-16be": "utf-8",
+    "utf-32": "utf-8",
+    "utf-32le": "utf-8",
+    "utf-32be": "utf-8",
 }
 
 _META_CHARSET_RE = re.compile(

@@ -169,6 +169,7 @@ def fetch_and_husk(selected: DataFrame, pages: DataFrame,
                     F.when(F.col("fetched"), F.lit(200)).cast("int"))
         .withColumn("final_url",
                     F.when(F.col("fetched"), F.col("url_canon")))
+        .withColumn("attempts", F.lit(1).cast("int"))
         .drop("_page_url", "_html", "_husked")
     )
 
@@ -249,6 +250,13 @@ def probe_seen(candidates: DataFrame, frontier: DataFrame,
 
     def probe(cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame) -> pd.DataFrame:
         out = cand_pdf.copy()
+        if len(blob_pdf) > 1:
+            # the seen table's invariant is ONE row per bucket (replace
+            # semantics); silently probing blob[0] would turn a schema/
+            # storage bug into bloom false negatives (re-enqueued URLs)
+            raise ValueError(
+                f"seen table has {len(blob_pdf)} rows for one bucket — "
+                "single-row-per-bucket invariant violated")
         if blob_pdf.empty:
             # no filter for this bucket ⇒ nothing from it was ever seen
             out["maybe_seen"] = False

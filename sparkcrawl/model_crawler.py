@@ -57,11 +57,15 @@ def crawl(
     max_rounds: int,
 ) -> ModelState:
     st = ModelState()
-    # A1 seed ingest (round 0) — dedupe canonical duplicates like the engine
+    # A1 seed ingest (round 0) — dedupe canonical duplicates like the
+    # engine: the surviving raw url is the MIN url per hash (lockstep
+    # with seeds_to_frontier's min-struct rule, NOT first-in-list order)
     for u in seed_urls:
         c = canonicalize(u)
         h = url_hash(c)
         if h in st.frontier:
+            if u < st.frontier[h].url:
+                st.frontier[h].url = u
             continue
         st.frontier[h] = Rec(u, c, h, url_host(c), 0, 0, _priority(0, 0), 0, None)
         st.pending.add(h)

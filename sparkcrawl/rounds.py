@@ -52,6 +52,7 @@ class CrawlEngine:
         compact_every: int = 0,
         fetcher: str = "join",
         http_opts: Optional[dict] = None,
+        rebuild_on_saturation: bool = True,
     ) -> None:
         self.spark = spark
         self.workdir = workdir
@@ -86,6 +87,12 @@ class CrawlEngine:
         # 0 disables.  Runs before the checkpoint so resume pins the
         # compacted snapshot.
         self.compact_every = compact_every
+        # saturation recovery: a bucket whose cuckoo filter overflows is
+        # first degraded to the exact anti-join (never wrong), then —
+        # when this flag is on — rebuilt at 2× geometry from the
+        # authoritative frontier keys so it recovers its fast path
+        # instead of staying anti-join-only forever.
+        self.rebuild_on_saturation = rebuild_on_saturation
         self._pending_count = 0
 
         j = lambda name: os.path.join(workdir, name)  # noqa: E731
@@ -209,6 +216,47 @@ class CrawlEngine:
                   .cogroup(prev.groupBy("host_bucket"))
                   .applyInPandas(build_merge, SEEN_SET))
         self.seen.replace(merged, round_no)
+        if self.rebuild_on_saturation:
+            self._rebuild_saturated(round_no)
+
+    def _rebuild_saturated(self, round_no: int) -> None:
+        """Recover saturated buckets' fast path: rebuild each overflowed
+        filter from the authoritative frontier keys (seen ≡ frontier keys
+        is the engine invariant) at 2× geometry — capacity 2× the
+        bucket's current key count, at least 2× the configured capacity.
+        Progressive: if the bucket keeps growing past even that, the next
+        overflow degrades→rebuilds again at the new 2× size.  Only the
+        (rare) saturated bucket ids are collected — never blobs."""
+        sat = [int(r["partition_id"]) for r in
+               self.seen.read(self.spark)
+               .filter(F.col("n_items") < 0)
+               .select("partition_id").collect()]
+        if not sat:
+            return
+        cap, fpp = self.bloom_capacity, self.bloom_fpp
+        fmod = self._filter
+
+        def rebuild(key, pdf):
+            hashes = pdf["url_hash"].to_numpy()
+            capacity = max(2 * len(hashes), 2 * cap)
+            try:
+                blob = fmod.add_many(fmod.create(capacity, fpp), hashes)
+                n = fmod.n_items(blob)
+            except OverflowError:  # stay on the exact path
+                blob, n = b"", -1
+            return pd.DataFrame({
+                "partition_id": [int(key[0])], "round": [round_no],
+                "bloom": [blob], "n_items": [n], "fpp": [fpp],
+            })
+
+        # frontier read AFTER this round's append ⇒ includes new rows
+        keys = (self.frontier.read(self.spark)
+                .filter(F.col("host_bucket").isin(sat))
+                .select("host_bucket", "url_hash"))
+        rebuilt = keys.groupBy("host_bucket").applyInPandas(rebuild, SEEN_SET)
+        kept = (self.seen.read(self.spark)
+                .filter(~F.col("partition_id").isin(sat)))
+        self.seen.replace(kept.unionByName(rebuilt), round_no)
 
     def seen_blobs(self) -> Dict[int, bytes]:
         """Driver-side view of the per-bucket blobs (tests/stats only —
@@ -274,7 +322,8 @@ class CrawlEngine:
         ext_r = self.extracted.read_new(spark, ext_sid)
         # successes drive discovery/metrics; all attempts drive fetchlog
         ext_ok = ext_r.filter(F.col("fetched"))
-        ext_keys = ext_r.select("url_hash", "http_status", "fetched")
+        ext_keys = ext_r.select("url_hash", "http_status", "fetched",
+                                "attempts")
         tp = mark("fetch_extract_write", tp)
 
         # terminal statuses for everything leaving PENDING this round:
@@ -289,9 +338,15 @@ class CrawlEngine:
                     F.lit(r).alias("round"),
                     F.when(F.col("_f") & F.col("fetched"), F.lit("FETCHED"))
                     .otherwise(F.lit("ERROR")).alias("status"),
-                    F.when(F.col("_f"), F.col("http_status"))
-                    .otherwise(F.lit(-1)).cast("int").alias("http_status"),
-                    F.lit(1).cast("int").alias("attempts"))
+                    # misses (no extracted row, or a transport failure
+                    # that never got a wire status) are the documented -1
+                    F.coalesce(F.col("http_status"), F.lit(-1))
+                    .cast("int").alias("http_status"),
+                    # real attempt counts ride through the extracted
+                    # read-back (fetch_http retries); join-mode misses
+                    # made exactly one (join) attempt
+                    F.coalesce(F.col("attempts"), F.lit(1))
+                    .cast("int").alias("attempts"))
             .unionByName(denied.select(
                 "url_hash", "host", "host_bucket",
                 F.lit(r).alias("round"),

@@ -100,6 +100,9 @@ EXTRACTED = T.StructType(
         T.StructField("links", T.ArrayType(T.StringType()), True),
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("final_url", T.StringType(), True),
+        # fetch attempts incl. retries (fetch_http transport retries;
+        # always 1 under the sandbox fetch-join)
+        T.StructField("attempts", T.IntegerType(), True),
         # the table records every ATTEMPTED fetch (a fetch-results log);
         # rows with fetched=false carry the failure's http_status and no
         # text/links.  The broadcast fetch-join can't surface misses

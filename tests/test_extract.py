@@ -92,6 +92,12 @@ def test_sniff_charset_table():
         (b'<META CHARSET="Shift_JIS">', ("shift_jis", 0)),
         (b'<meta http-equiv="Content-Type" content="text/html; '
          b'charset=euc-jp">', ("euc-jp", 0)),
+        # ASCII-readable meta can't be in a real UTF-16/32 doc (those
+        # carry a BOM) — WHATWG maps the labels to utf-8, else the page
+        # would deterministically decode to mojibake
+        (b'<meta charset="utf-16">', ("utf-8", 0)),
+        (b"<meta charset=UTF-16LE>", ("utf-8", 0)),
+        (b'<meta charset="utf-32">', ("utf-8", 0)),
         (b'<meta charset="not-a-codec">', ("utf-8", 0)),
         (b"<p>plain</p>", ("utf-8", 0)),
         # declaration beyond the 1024-byte sniff window is ignored

@@ -39,6 +39,20 @@ def model():
         {h: r for h, _, r in corpus.robots_rows()}, BUDGET, ROUNDS)
 
 
+def test_seed_dedupe_min_raw_url_lockstep(spark):
+    """Canonical-duplicate seeds: BOTH sides must keep the MIN raw url
+    per hash (engine: min-struct in seeds_to_frontier; model: min-url
+    rule in crawl's seed loop) — not first-in-list order."""
+    from sparkcrawl.frontier import seeds_to_frontier
+    seeds = ["http://example.com/x", "HTTP://EXAMPLE.com/x",
+             "http://example.com/y"]
+    eng = {r["url_hash"]: r["url"]
+           for r in seeds_to_frontier(spark, seeds, 4).collect()}
+    st = model_crawler.crawl({}, seeds, {}, 1, 0)
+    assert eng == {h: rec.url for h, rec in st.frontier.items()}
+    assert "HTTP://EXAMPLE.com/x" in eng.values()  # the min raw survivor
+
+
 def test_per_round_selected_sets(spark, engine, model):
     flog = engine.fetchlog.read(spark).collect()
     eng_sel, eng_den = {}, {}
