@@ -317,29 +317,38 @@ SELECT doc_id,
        'http://docs' || ((doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)) % 10
          || '.example/d/' || (doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)
          AS first_href,
+       CASE WHEN doc_id % 3 >= 1 THEN
+         'http://docs' || ((doc_id * 31 + 14) % (SELECT COUNT(*) FROM documents)) % 10
+           || '.example/d/' || (doc_id * 31 + 14) % (SELECT COUNT(*) FROM documents)
+       END AS second_href,
        CAST(1 + doc_id % 3 AS INT) AS n_anchors
 FROM documents
 """)
 def husker_scrape_fields(spark, sf):
     """§2.C — a user scrape rule written against the Husker selection API
-    (one/first/any + .text/.attrib), run vectorized inside mapInPandas:
-    the reference's Scraper.parse(page) shape on the distributed path."""
+    (one/some/any + positional ``a[2]`` + .text/.attrib), run vectorized
+    inside mapInPandas: the reference's Scraper.parse(page) shape on the
+    distributed path.  second_href exercises the lxml-style positional
+    predicate (pages carry 1+doc_id%3 anchors, so it's NULL for 1/3)."""
     from .husker import parse as husker_parse
 
     pages = _doc_pages(spark, sf)
 
     def scrape(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            leads, hrefs, counts = [], [], []
+            leads, hrefs, hrefs2, counts = [], [], [], []
             for html in b["html"]:
                 doc = husker_parse(bytes(html))
                 leads.append(doc.one("p").text)
                 anchors = doc.any("a[href]")
                 hrefs.append(anchors[0].attrib("href") if anchors else None)
+                second = doc.some("div > a[2]")  # Nth-match-per-context
+                hrefs2.append(second.attrib("href") if second else None)
                 counts.append(len(anchors))
             yield pd.DataFrame({"doc_id": b["doc_id"], "lead_text": leads,
-                                "first_href": hrefs, "n_anchors": counts})
+                                "first_href": hrefs, "second_href": hrefs2,
+                                "n_anchors": counts})
 
     schema = ("doc_id long, lead_text string, first_href string, "
-              "n_anchors int")
+              "second_href string, n_anchors int")
     return pages.mapInPandas(scrape, schema)

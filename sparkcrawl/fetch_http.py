@@ -19,9 +19,14 @@ Design (the UDF-shaped async fetcher the north star names):
   code, transport errors are -1; ``attempts`` counts tries (bounded
   retries with fixed backoff on transport errors only — 4xx/5xx are
   terminal).
-* politeness beyond the per-round budget (per-host concurrency, delays)
-  belongs to the selection stage (A8), which has already bounded this
-  set; the pool bound here only caps per-task socket fan-out.
+* politeness BELOW round granularity lives here: within an Arrow batch,
+  one host's URLs are fetched SERIALLY (per-host concurrency is always
+  1 — selection co-partitions by host_bucket, so a batch is often
+  single-host and a flat pool would fire pool_size concurrent requests
+  at that host) with an optional ``courtesy_delay_s`` minimum interval
+  between request starts; distinct hosts proceed in parallel up to
+  ``pool_size``.  Per-round volume caps remain the selection stage's
+  job (A8).
 
 No network exists in this sandbox; tests drive this module against an
 in-process ``http.server`` on 127.0.0.1 (tests/test_http_fetch.py) —
@@ -32,6 +37,7 @@ from __future__ import annotations
 
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
@@ -82,7 +88,8 @@ def fetch_and_husk_http(selected: DataFrame,
                         retries: int = 2,
                         backoff_s: float = 0.2,
                         max_bytes: int = 4 * 1024 * 1024,
-                        pool_size: int = 16) -> DataFrame:
+                        pool_size: int = 16,
+                        courtesy_delay_s: float = 0.0) -> DataFrame:
     """Fetch each selected url_canon over HTTP and husk the body.
 
     Output schema = selected + (fetched, text, links, lang, http_status,
@@ -90,16 +97,40 @@ def fetch_and_husk_http(selected: DataFrame,
     (attempts is extra).  Rows that fail to fetch come back with
     fetched=false (the join path drops misses instead); to_extracted
     filters on fetched either way.
+
+    Politeness: one host's URLs are fetched serially, ≥
+    ``courtesy_delay_s`` seconds between request STARTS (crawl-delay
+    analog); distinct hosts run in parallel on the thread pool.
     """
     schema = T.StructType(list(selected.schema.fields) + _RESULT_FIELDS)
+
+    def fetch_host_serial(idx_urls):
+        # per-host worker: serial requests, min-interval pacing
+        out = []
+        next_ok = 0.0
+        for i, u in idx_urls:
+            if courtesy_delay_s > 0:
+                wait = next_ok - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+            next_ok = time.monotonic() + courtesy_delay_s
+            out.append((i, _fetch_one(u, timeout_s, retries,
+                                      backoff_s, max_bytes)))
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             urls = list(b["url_canon"])
+            hosts = (list(b["host"]) if "host" in b.columns
+                     else [urllib.parse.urlsplit(u).netloc for u in urls])
+            by_host: dict = {}
+            for i, (u, h) in enumerate(zip(urls, hosts)):
+                by_host.setdefault(h, []).append((i, u))
             with ThreadPoolExecutor(max_workers=pool_size) as pool:
-                raw = list(pool.map(
-                    lambda u: _fetch_one(u, timeout_s, retries,
-                                         backoff_s, max_bytes), urls))
+                raw_idx = [r for host_out in
+                           pool.map(fetch_host_serial, by_host.values())
+                           for r in host_out]
+            raw = [res for _, res in sorted(raw_idx, key=lambda x: x[0])]
             out = b.copy()
             fetched, texts, links, statuses, finals, tries = \
                 [], [], [], [], [], []

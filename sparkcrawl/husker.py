@@ -18,6 +18,10 @@ Selector syntax (frozen spec, CSS-ish subset):
   ``tag[attr=value]``, descendant chaining with spaces
   (``div a[href]``), and the direct-child combinator ``>``
   (``ul > li``, space-separated).  ``*`` matches any tag.
+  A trailing ``[N]`` (1-based, digits only — lxml-style positional
+  predicate) keeps the Nth match PER CONTEXT ELEMENT: ``tr > td[2]``
+  is each row's second cell, ``ul li[1]`` each list's first item.
+  Position composes after any attribute filter (``td[colspan][2]``).
 """
 
 from __future__ import annotations
@@ -52,11 +56,14 @@ _VOID_TAGS = frozenset("""area base br col embed hr img input link meta
 
 _NUM_CLEAN = re.compile("[,\\s\u00a0]")  # thousands sep, whitespace, NBSP
 
+# attr names must start with a letter/underscore so a digits-only
+# bracket ([2]) is unambiguously the positional predicate
 _SEL_PART = re.compile(
     r"^(?P<tag>[a-zA-Z0-9*]+)?"
     r"(?:\.(?P<cls>[\w\-]+))?"
     r"(?:#(?P<id>[\w\-]+))?"
-    r"(?:\[(?P<attr>[\w\-]+)(?:=(?P<val>[^\]]*))?\])?$"
+    r"(?:\[(?P<attr>[a-zA-Z_][\w\-]*)(?:=(?P<val>[^\]]*))?\])?"
+    r"(?:\[(?P<pos>\d+)\])?$"
 )
 
 
@@ -175,14 +182,21 @@ def _select(root: Element, selector: str) -> List[Element]:
         if part == ">":
             direct = True
             continue
+        m = _SEL_PART.match(part)
+        pos = int(m.group("pos")) if m and m.group("pos") else None
         nxt: List[Element] = []
         seen = set()
         for base in current:
             pool = ((c for c in base.children if isinstance(c, Element))
                     if direct else
                     (el for el in base.iter() if el is not base))
-            for el in pool:
-                if _match(el, part) and id(el) not in seen:
+            hits = [el for el in pool if _match(el, part)]
+            if pos is not None:
+                # positional predicate: Nth match within THIS context
+                # (lxml-style — 1-based, document order per base)
+                hits = hits[pos - 1:pos]
+            for el in hits:
+                if id(el) not in seen:
                     seen.add(id(el))
                     nxt.append(el)
         current = nxt

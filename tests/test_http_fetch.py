@@ -24,7 +24,11 @@ def page_bytes(i: int) -> bytes:
 
 
 class _Handler(BaseHTTPRequestHandler):
+    hits = []  # (path, monotonic_ts) per request — pacing assertions
+
     def do_GET(self):
+        import time
+        _Handler.hits.append((self.path, time.monotonic()))
         if self.path.startswith("/d/"):
             body = page_bytes(int(self.path[3:]))
             self.send_response(200)
@@ -92,6 +96,26 @@ def test_http_fetch_transport_error_retries(spark):
     assert row["final_url"] is None
 
 
+def test_courtesy_delay_paces_per_host(spark, server):
+    """Politeness below round granularity: one host's requests are
+    serialized with >= courtesy_delay_s between request starts — never
+    pool_size concurrent hits on a single host — and results still come
+    back row-aligned."""
+    _Handler.hits = []
+    sel = _selected(spark, server, [f"/d/{i}" for i in range(4)])
+    rows = fetch_and_husk_http(sel, timeout_s=5, retries=0,
+                               courtesy_delay_s=0.15).collect()
+    assert all(r["fetched"] for r in rows)
+    # row alignment survives the per-host regrouping
+    for r in rows:
+        i = int(r["url_canon"].rsplit("/", 1)[1])
+        assert r["text"] == husk(page_bytes(i))[0]
+    ts = sorted(t for _, t in _Handler.hits)
+    assert len(ts) == 4
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert all(g >= 0.13 for g in gaps), f"requests not paced: {gaps}"
+
+
 def test_engine_round_over_real_http(spark, server, tmp_path):
     """CrawlEngine(fetcher='http'): two rounds against the live server —
     fetch, husk, discover, dedupe, fetchlog statuses, all on the wire."""
@@ -104,10 +128,12 @@ def test_engine_round_over_real_http(spark, server, tmp_path):
         robots=spark.createDataFrame(
             [("127.0.0.1", None, "User-agent: *\nDisallow:\n")], ROBOTS),
         budget_per_host=100, n_buckets=4, salt_buckets=2,
-        fetcher="http", http_opts={"timeout_s": 5, "retries": 1})
-    eng.init([f"{server}/d/0", f"{server}/d/1", f"{server}/missing"])
+        fetcher="http", http_opts={"timeout_s": 1, "retries": 1,
+                                   "backoff_s": 0.01})
+    eng.init([f"{server}/d/0", f"{server}/d/1", f"{server}/missing",
+              "http://127.0.0.1:59999/dead"])  # nothing listens: transport err
     s1 = eng.run_round()
-    assert s1["urls_fetched"] == 2          # /missing 404s
+    assert s1["urls_fetched"] == 2          # /missing 404s, /dead refused
     assert s1["links_new"] > 0              # discovered /d and /redir links
     s2 = eng.run_round()
     assert s2["urls_fetched"] > 0
@@ -118,6 +144,11 @@ def test_engine_round_over_real_http(spark, server, tmp_path):
         by_status.setdefault(r["status"], []).append(r)
     assert any(r["http_status"] == 404 for r in by_status.get("ERROR", []))
     assert all(r["http_status"] == 200 for r in by_status["FETCHED"])
+    assert all(r["attempts"] == 1 for r in by_status["FETCHED"])
+    # the dead-port URL's real retry count reaches the fetchlog
+    # (attempts rides through the extracted read-back, not a hardcoded 1)
+    dead = [r for r in by_status["ERROR"] if r["http_status"] == -1]
+    assert dead and all(r["attempts"] == 2 for r in dead)  # initial + 1 retry
 
     ext = eng.extracted.read(spark)
     # redirect targets record where the chain landed

@@ -166,3 +166,24 @@ def test_child_combinator():
     assert sorted(h.text for h in doc.any("div.a p")) == ["direct", "nested"]
     assert doc.one("span > p").text == "nested"
     assert doc.any("span > div") == []
+
+
+def test_positional_predicate():
+    """Frozen spec: trailing [N] keeps the Nth match PER CONTEXT element
+    (lxml-style positional predicate), composing with attribute filters."""
+    doc = parse(b"<table>"
+                b"<tr><td>a1</td><td>a2</td><td>a3</td></tr>"
+                b"<tr><td>b1</td><td colspan=2>b2</td></tr>"
+                b"<tr><td>c1</td></tr>"
+                b"</table>")
+    # per-row second cell: one per row that HAS a second cell
+    assert [h.text for h in doc.any("tr > td[2]")] == ["a2", "b2"]
+    # descendant axis: position is still per context (the one table)
+    assert doc.one("table td[3]").text == "a3"
+    assert [h.text for h in doc.any("tr > td[1]")] == ["a1", "b1", "c1"]
+    # attribute filter composes BEFORE position
+    assert doc.one("td[colspan][1]").text == "b2"
+    # out-of-range position = no match (some → None, one → mismatch)
+    assert doc.some("tr > td[9]") is None
+    with pytest.raises(HuskerMismatch):
+        doc.one("tr > td[9]")
