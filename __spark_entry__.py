@@ -51,17 +51,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
 _PRIORITY = [
-    # -- no driver evidence before r2: textops --
-    "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "ann_bruteforce_topk", "ann_lsh_bucketed",
-    "text_token_counts", "text_quality_score", "text_lang_id",
-    "text_fingerprint_winnow",
-    "multimodal_decode_meta", "multimodal_features",
-    # -- round-2 additions --
-    "husker_value_ops", "husker_json_fields",
-    "dedup_lines_boilerplate", "text_pii_scrub",
-    "text_quality_filter_chain", "sample_stratified", "text_ngram_topk",
+    # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
+    #    their driver evidence must be refreshed first --
+    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_lines_boilerplate",
+    "text_ngram_topk", "husker_scrape_fields",
+    # -- r01-only evidence (rotated outside r02's first 50): refresh --
+    "window_range_frame", "sort_limit_topn", "set_union_intersect_except",
+    "distinct_rows", "string_funcs", "regexp_ops", "parse_url_host",
+    "hash_md5", "hash_xxhash64", "date_trunc_agg", "datediff_extract",
+    "tumbling_window", "sliding_window", "session_window", "math_funcs",
+    "json_extract", "array_ops", "explode_words", "pivot_segments",
+    "percentile_prices", "icebergish_time_travel",
 ]
 
 
