@@ -44,9 +44,12 @@ from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .extract import husk, resolve_links
+from .robots import crawl_delay_series
+from .textops import lang_id_text
 
 USER_AGENT = "sparkcrawl/0.2 (+https://example.invalid/bot)"
 _RESULT_FIELDS = [
@@ -83,13 +86,24 @@ def _fetch_one(url: str, timeout_s: float, retries: int,
     return None, -1, None, attempts
 
 
+def with_robots_delay(selected: DataFrame, robots_df: DataFrame) -> DataFrame:
+    """Join each selected row's host Crawl-delay (float seconds, None if
+    the host's robots.txt declares none) as ``crawl_delay_s`` — the
+    tiny robots table broadcasts, same as the A6 allow check."""
+    delay_udf = F.pandas_udf(crawl_delay_series, T.DoubleType())
+    delays = F.broadcast(robots_df.select(
+        "host", delay_udf("rules").alias("crawl_delay_s")))
+    return selected.join(delays, "host", "left")
+
+
 def fetch_and_husk_http(selected: DataFrame,
                         timeout_s: float = 10.0,
                         retries: int = 2,
                         backoff_s: float = 0.2,
                         max_bytes: int = 4 * 1024 * 1024,
                         pool_size: int = 16,
-                        courtesy_delay_s: float = 0.0) -> DataFrame:
+                        courtesy_delay_s: float = 0.0,
+                        sniff_lang: bool = True) -> DataFrame:
     """Fetch each selected url_canon over HTTP and husk the body.
 
     Output schema = selected + (fetched, text, links, lang, http_status,
@@ -100,20 +114,24 @@ def fetch_and_husk_http(selected: DataFrame,
 
     Politeness: one host's URLs are fetched serially, ≥
     ``courtesy_delay_s`` seconds between request STARTS (crawl-delay
-    analog); distinct hosts run in parallel on the thread pool.
+    analog); distinct hosts run in parallel on the thread pool.  A
+    ``crawl_delay_s`` column (joined on by ``with_robots_delay`` from
+    the robots table) raises the interval per host: the effective
+    delay is max(courtesy_delay_s, host's robots Crawl-delay).
     """
     schema = T.StructType(list(selected.schema.fields) + _RESULT_FIELDS)
 
-    def fetch_host_serial(idx_urls):
+    def fetch_host_serial(job):
         # per-host worker: serial requests, min-interval pacing
+        delay, idx_urls = job
         out = []
         next_ok = 0.0
         for i, u in idx_urls:
-            if courtesy_delay_s > 0:
+            if delay > 0:
                 wait = next_ok - time.monotonic()
                 if wait > 0:
                     time.sleep(wait)
-            next_ok = time.monotonic() + courtesy_delay_s
+            next_ok = time.monotonic() + delay
             out.append((i, _fetch_one(u, timeout_s, retries,
                                       backoff_s, max_bytes)))
         return out
@@ -123,17 +141,22 @@ def fetch_and_husk_http(selected: DataFrame,
             urls = list(b["url_canon"])
             hosts = (list(b["host"]) if "host" in b.columns
                      else [urllib.parse.urlsplit(u).netloc for u in urls])
+            rdel = (b["crawl_delay_s"] if "crawl_delay_s" in b.columns
+                    else None)
             by_host: dict = {}
             for i, (u, h) in enumerate(zip(urls, hosts)):
-                by_host.setdefault(h, []).append((i, u))
+                d = by_host.setdefault(h, [courtesy_delay_s, []])
+                if rdel is not None and pd.notna(rdel.iloc[i]):
+                    d[0] = max(d[0], float(rdel.iloc[i]))
+                d[1].append((i, u))
             with ThreadPoolExecutor(max_workers=pool_size) as pool:
                 raw_idx = [r for host_out in
                            pool.map(fetch_host_serial, by_host.values())
                            for r in host_out]
             raw = [res for _, res in sorted(raw_idx, key=lambda x: x[0])]
             out = b.copy()
-            fetched, texts, links, statuses, finals, tries = \
-                [], [], [], [], [], []
+            fetched, texts, links, statuses, finals, tries, langs = \
+                [], [], [], [], [], [], []
             for url, (body, status, final, n_try) in zip(urls, raw):
                 ok = body is not None and 200 <= status < 300
                 fetched.append(ok)
@@ -144,13 +167,17 @@ def fetch_and_husk_http(selected: DataFrame,
                     text, hrefs = husk(body)
                     texts.append(text)
                     links.append(resolve_links(final or url, hrefs))
+                    # the wire carries no lang column; fill it at ingest
+                    # with the same frozen heuristic as text_lang_id
+                    langs.append(lang_id_text(text) if sniff_lang else None)
                 else:
                     texts.append(None)
                     links.append([])
+                    langs.append(None)
             out["fetched"] = fetched
             out["text"] = texts
             out["links"] = links
-            out["lang"] = None  # wire gives no lang; langid is a textop
+            out["lang"] = langs
             out["http_status"] = pd.array(statuses, dtype="int32")
             out["final_url"] = finals
             out["attempts"] = pd.array(tries, dtype="int32")

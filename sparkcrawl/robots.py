@@ -36,6 +36,50 @@ def allowed(rules: Optional[str], url: str) -> bool:
         return True
 
 
+def crawl_delay(rules: Optional[str]) -> Optional[float]:
+    """Crawl-delay (seconds) applying to USER_AGENT, or None.
+
+    Frozen spec: group-aware like the allow/deny parse — a directive
+    belongs to the preceding ``User-agent`` group; a group naming our
+    agent (substring match) beats ``*``; the FIRST group at the highest
+    specificity wins.  Values parse as float (urllib's parser is
+    int-only, but sub-second delays are common in the wild)."""
+    if rules is None or not rules.strip():
+        return None
+    best = None  # (specificity, delay); spec 2 = named us, 1 = '*'
+    agents: list = []
+    in_group_header = False
+    for line in rules.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []
+            agents.append(val.lower())
+            in_group_header = True
+            continue
+        in_group_header = False
+        if key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            for a in agents:
+                spec = 2 if (a and a != "*" and a in USER_AGENT.lower()) \
+                    else (1 if a == "*" else 0)
+                if spec and (best is None or spec > best[0]):
+                    best = (spec, d)
+    return best[1] if best else None
+
+
+def crawl_delay_series(rules: pd.Series) -> pd.Series:
+    """Vectorized UDF body for the per-host delay column."""
+    return pd.Series([crawl_delay(r) for r in rules], dtype="float64")
+
+
 def allowed_series(rules: pd.Series, urls: pd.Series) -> pd.Series:
     """Vectorized UDF body: parse each distinct rules-text once per batch."""
     cache: Dict[str, RobotFileParser] = {}

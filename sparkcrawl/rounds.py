@@ -309,8 +309,11 @@ class CrawlEngine:
         tp = mark("plan", tp)
         # A10-A15: the one heavy pass — fetch html, husk, write text+links.
         if self.fetcher == "http":
-            from .fetch_http import fetch_and_husk_http
-            fetched = fetch_and_husk_http(selected, **self.http_opts)
+            from .fetch_http import fetch_and_husk_http, with_robots_delay
+            # per-host robots Crawl-delay rides along for the pool's
+            # per-host pacing (max of it and courtesy_delay_s)
+            fetched = fetch_and_husk_http(
+                with_robots_delay(selected, self.robots), **self.http_opts)
         else:
             fetched = fetch_and_husk(selected, self.pages,
                                      broadcast_selected=self.fetch_broadcast)

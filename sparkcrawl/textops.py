@@ -15,6 +15,7 @@ xxhash64 for ~2× hash throughput — noted per query.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -540,6 +541,32 @@ def text_quality_score(spark, sf):
         .alias("avg_word_len"),
         F.round(sw, 4).alias("stopword_ratio"),
         F.round(F.log(F.col("n_chars") + 1) * (1 + sw), 4).alias("quality"))
+
+
+_CJK_RE = re.compile("[一-鿿]")
+
+
+def lang_id_text(text) -> str:
+    """Pure-python twin of text_lang_id's frozen heuristic (marker-word
+    counts on the space-padded text + CJK codepoint check, precedence
+    zh > en > es > de > und) — used by the HTTP fetch path to fill the
+    lang column at ingest.  Must stay in lockstep with text_lang_id
+    (pinned by test_lang_id_text_matches_spark)."""
+    if not text:
+        return "und"
+    if _CJK_RE.search(text):
+        return "zh"
+    padded = f" {text} "
+    s_en = padded.count(" the ") + padded.count(" and ")
+    s_es = padded.count(" el ") + padded.count(" los ")
+    s_de = padded.count(" der ") + padded.count(" und ")
+    if s_en >= s_es and s_en >= s_de and s_en > 0:
+        return "en"
+    if s_es >= s_de and s_es > 0:
+        return "es"
+    if s_de > 0:
+        return "de"
+    return "und"
 
 
 @q("text_lang_id", """

@@ -69,6 +69,7 @@ def test_http_fetch_statuses_redirects_and_bytes(spark, server):
     ok0 = rows[f"{server}/d/0"]
     assert ok0["fetched"] and ok0["http_status"] == 200
     assert ok0["attempts"] == 1
+    assert ok0["lang"] == "und"  # lang sniffed at ingest (page has no markers)
     # byte-identical to the frozen extraction spec on the same bytes
     assert ok0["text"] == husk(page_bytes(0))[0]
     assert f"{server}/d/3" in ok0["links"]  # resolved relative href
@@ -114,6 +115,25 @@ def test_courtesy_delay_paces_per_host(spark, server):
     assert len(ts) == 4
     gaps = [b - a for a, b in zip(ts, ts[1:])]
     assert all(g >= 0.13 for g in gaps), f"requests not paced: {gaps}"
+
+
+def test_robots_crawl_delay_paces_pool(spark, server):
+    """A host's robots Crawl-delay overrides a smaller courtesy delay in
+    the pool scheduler (effective interval = max of the two)."""
+    from sparkcrawl.fetch_http import with_robots_delay
+    from sparkcrawl.schemas import ROBOTS
+
+    _Handler.hits = []
+    sel = _selected(spark, server, [f"/d/{i}" for i in range(3)])
+    robots = spark.createDataFrame(
+        [("127.0.0.1", None, "User-agent: *\nCrawl-delay: 0.2\n")], ROBOTS)
+    rows = fetch_and_husk_http(with_robots_delay(sel, robots),
+                               timeout_s=5, retries=0,
+                               courtesy_delay_s=0.01).collect()
+    assert all(r["fetched"] for r in rows)
+    ts = sorted(t for _, t in _Handler.hits)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert all(g >= 0.17 for g in gaps), f"crawl-delay not honored: {gaps}"
 
 
 def test_engine_round_over_real_http(spark, server, tmp_path):

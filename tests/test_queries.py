@@ -94,6 +94,24 @@ def test_cosine_bits_refine(spark):
     assert p8 <= p6
 
 
+def test_lang_id_text_matches_spark(spark):
+    """lang_id_text (the pure twin the HTTP fetch path uses at ingest)
+    must stay in lockstep with the text_lang_id query heuristic."""
+    from sparkcrawl.textops import lang_id_text
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    want = {r["doc_id"]: lang_id_text(r["text"]) for r in docs}
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in Q["text_lang_id"](spark, SF).collect()}
+    assert got == want
+    assert len(set(want.values())) >= 2  # corpus actually spans langs
+    assert lang_id_text("the cat and the dog") == "en"
+    assert lang_id_text("el perro y los gatos") == "es"
+    assert lang_id_text("der Hund und die Katze") == "de"
+    assert lang_id_text("中文网页") == "zh"
+    assert lang_id_text("") == "und" and lang_id_text(None) == "und"
+
+
 def test_bloom_probe_no_false_negatives(spark):
     """Exactness contract: every even doc (inserted) must probe maybe_seen."""
     rows = Q["crawl_seen_bloom_probe"](spark, SF).collect()

@@ -25,3 +25,31 @@ def test_vectorized_matches_scalar():
                       "http://h/y", "http://h/p/1"])
     out = allowed_series(rules, urls)
     assert out.tolist() == [allowed(r, u) for r, u in zip(rules, urls)]
+
+
+def test_crawl_delay_parse():
+    """Frozen spec: group-aware, float-valued, named group beats '*',
+    first group wins per specificity level, junk values ignored."""
+    from sparkcrawl.robots import crawl_delay
+    assert crawl_delay(None) is None
+    assert crawl_delay("") is None
+    assert crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: 2\n") == 2.0
+    assert crawl_delay("User-agent: *\nCrawl-delay: 0.25\n") == 0.25
+    # named group (substring of our agent) beats the wildcard
+    assert crawl_delay(
+        "User-agent: *\nCrawl-delay: 5\n\n"
+        "User-agent: sparkcrawl\nCrawl-delay: 1\n") == 1.0
+    assert crawl_delay(
+        "User-agent: sparkcrawl\nCrawl-delay: 1\n\n"
+        "User-agent: *\nCrawl-delay: 5\n") == 1.0
+    # a group for someone else doesn't apply
+    assert crawl_delay("User-agent: otherbot\nCrawl-delay: 9\n") is None
+    # stacked agent lines share one group
+    assert crawl_delay(
+        "User-agent: otherbot\nUser-agent: *\nCrawl-delay: 3\n") == 3.0
+    # unparseable value ignored; comments stripped
+    assert crawl_delay(
+        "User-agent: *\nCrawl-delay: fast\n") is None
+    assert crawl_delay(
+        "User-agent: *  # everyone\nCrawl-delay: 2  # two\n") == 2.0
