@@ -1,0 +1,193 @@
+"""Graph operators over the crawl corpus — the two graph stages a
+web-scale training-data pipeline runs after extraction:
+
+* ``dedup_cluster_cc`` — connected components over the MinHash-LSH
+  near-dup pair graph (textops.dedup_minhash_lsh_pairs), yielding one
+  canonical representative per duplicate cluster.  This is the step that
+  turns pairwise dedup evidence into an actual keep/drop decision.
+* ``graph_pagerank`` — PageRank over the hyperlink graph husked from the
+  rendered pages (crawlq._doc_pages), the classic crawl-frontier
+  prioritization signal (SURVEY §2.A A7 feeds on link authority at scale).
+
+Both are iterative DataFrame algorithms: a driver loop over join+agg
+steps, with lineage truncated per iteration (``localCheckpoint``) so the
+plan doesn't grow unboundedly.  No RDDs, no Python UDFs — every step is
+JVM-side join/groupBy, so each iteration is one shuffle keyed on the
+node id.  100 TB notes per operator below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .registry import q, t
+from .textops import _LSH_PAIRS_SQL, dedup_minhash_lsh_pairs
+
+CC_MAX_ITERS = 25  # loud failure beats silent wrong clusters
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation: every node's label converges to the
+    smallest node id reachable from it.  ``nodes`` is (doc_id,),
+    ``edges`` is directed (src, dst) — pass both directions for an
+    undirected graph.
+
+    Scale shape: each iteration is one join edges⋈labels (keyed on src)
+    + one groupBy(dst).min (map-side combinable) + one left join back to
+    nodes — all shuffles on the node id, so co-partitioning carries
+    across iterations.  Convergence needs O(cluster diameter) rounds;
+    LSH near-dup clusters are clique-ish (diameter ≤ 2), so 2-3 rounds
+    in practice.  Labels only ever decrease, so Σlabel is a strictly
+    decreasing convergence witness — one scalar agg per round instead of
+    a change-count join.  Lineage is truncated every round
+    (localCheckpoint); on a real cluster point checkpoints at durable
+    storage for fault tolerance past executor loss."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    edges = edges.persist()
+    try:
+        for _ in range(max_iters):
+            nbr = (edges.join(labels,
+                              edges["src"] == labels["doc_id"])
+                   .groupBy("dst").agg(F.min("cluster_id").alias("nbr_min")))
+            labels = (labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
+                      .select(labels["doc_id"],
+                              F.least("cluster_id",
+                                      F.coalesce("nbr_min", "cluster_id"))
+                              .alias("cluster_id")))
+            labels = labels.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if cur_sum == prev_sum:
+                return labels
+            prev_sum = cur_sum
+    finally:
+        edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations")
+
+
+@q("dedup_cluster_cc", f"""
+WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS keep
+FROM comp
+""")
+def dedup_cluster_cc(spark, sf):
+    """Near-dup CLUSTERS from the LSH pair graph: connected components
+    over dedup_minhash_lsh_pairs edges, canonical representative = min
+    doc_id per component (keep=1), everything else drops.  Singletons
+    keep themselves.  This is the end of the dedup chain: pairs are
+    evidence, clusters are the decision.  The oracle walks the same
+    graph with a recursive CTE (min reachable id ≡ component id)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh_pairs(spark, sf)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst"))))
+    comp = connected_components(docs, edges)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id", "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0).alias("keep"))
+
+
+# ------------------------------------------------------------------ PageRank
+
+PR_DAMPING = 0.85
+PR_ITERS = 3  # frozen: the oracle unrolls exactly this many rounds
+
+# every doc has 1 + doc_id % 3 outlinks (corpus arithmetic), so there are
+# no dangling nodes and no dangling-mass redistribution term.  The edge
+# arithmetic is the one frozen in crawlq (oracle side of the husked web).
+from .crawlq import _TARGETS_SQL as _PR_TARGETS_SQL  # noqa: E402
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""
+  SELECT d.doc_id AS v,
+         0.15 / nn.c + 0.85 * COALESCE(SUM(p.pr / dg.k), 0) AS pr
+  FROM documents d CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN {prev} p ON p.v = e.src
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY d.doc_id, nn.c
+"""
+
+
+_PAGERANK_SQL = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+edges AS (SELECT doc_id AS src, target AS dst FROM ({_PR_TARGETS_SQL})),
+deg AS (SELECT src, COUNT(*) AS k FROM edges GROUP BY src),
+pr0 AS (SELECT doc_id AS v, 1.0 / nn.c AS pr FROM documents CROSS JOIN nn),
+pr1 AS ({_pr_iter_sql('pr0')}),
+pr2 AS ({_pr_iter_sql('pr1')}),
+pr3 AS ({_pr_iter_sql('pr2')})
+SELECT v AS doc_id, ROUND(pr, 8) AS pagerank FROM pr3
+"""
+
+
+@q("graph_pagerank", _PAGERANK_SQL)
+def graph_pagerank(spark, sf, iters: int = PR_ITERS):
+    """PageRank (d=0.85, {PR_ITERS} synchronous rounds) over the link
+    graph HUSKED from the rendered pages — the engine parses real hrefs
+    through the Arrow-UDF extraction path (crawlq), while the oracle
+    re-derives the same edges arithmetically and unrolls the iterations
+    as chained CTEs.  Output rounded to 8 dp (double-fold error across
+    engines is ~1e-15).
+
+    Scale shape: the husk runs ONCE (edges persisted with out-degree
+    attached); each iteration is one shuffle keyed on src (join
+    ranks⋈edges) + one map-side-combinable groupBy(dst).sum + a left
+    join back to the node set, so rank vectors and edges stay
+    co-partitioned on the node id across rounds.  No dangling-mass term
+    because the corpus graph has no sinks; a general-web run adds one
+    scalar agg per round for the dangling mass.  At 10^10 nodes: edges bucketed by src, ranks
+    localCheckpointed per round (done here) so plan size stays O(1) in
+    the round count.  (Corpus note: 1 + doc_id mod 3 outlinks per node.)"""
+    from .crawlq import _doc_pages, _husk_udf
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # one driver scalar (the iteration constant), not data
+    pages = _doc_pages(spark, sf)
+    edges = (pages.withColumn("h", _husk_udf("url", "html"))
+             .select(F.col("doc_id").alias("src"),
+                     F.explode("h.links").alias("link"))
+             .select("src",
+                     F.regexp_extract("link", r"/d/(\d+)$", 1)
+                     .cast("long").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("k"))
+    edges_deg = edges.join(deg, "src").persist()
+    try:
+        ranks = docs.select(F.col("doc_id").alias("v"),
+                            F.lit(1.0 / n).alias("pr"))
+        for _ in range(iters):
+            contrib = (edges_deg.join(ranks, edges_deg["src"] == ranks["v"])
+                       .groupBy("dst")
+                       .agg(F.sum(F.col("pr") / F.col("k")).alias("c")))
+            ranks = (docs.join(contrib, docs["doc_id"] == contrib["dst"],
+                               "left")
+                     .select(F.col("doc_id").alias("v"),
+                             (F.lit(0.15 / n)
+                              + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+                              ).alias("pr")))
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(F.col("v").alias("doc_id"),
+                            F.round("pr", 8).alias("pagerank"))
+    finally:
+        edges_deg.unpersist()
