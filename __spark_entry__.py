@@ -51,6 +51,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
 _PRIORITY = [
+    # -- NEW in round 3 (no driver evidence yet): graph ops, repetition
+    #    gates, tf-idf, inverted index, IVF ANN --
+    "dedup_cluster_cc", "graph_pagerank",
+    "text_repetition_filter", "text_tfidf_topk",
+    "index_inverted", "ann_ivf_topk",
     # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
     #    their driver evidence must be refreshed first --
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",

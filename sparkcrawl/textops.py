@@ -940,3 +940,239 @@ def multimodal_features(spark, sf):
                 "entropyish": np.round(ent, 6)})
 
     return d.mapInPandas(feats, schema)
+
+
+# =========================================================================
+# Repetition filtering, TF-IDF, inverted index (Gopher/C4-adjacent ops)
+# =========================================================================
+
+_BIGRAMS_SQL = f"""
+  SELECT doc_id, w || ' ' || w1 AS g FROM (
+    SELECT doc_id, w, LEAD(w, 1) OVER win AS w1
+    FROM ({_WORDS_SQL})
+    WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+  ) WHERE w1 IS NOT NULL
+"""
+
+# frozen thresholds (Gopher-flavored, calibrated so the synthetic corpus
+# splits non-trivially: top2 med 0.066/max 0.308, duptri max 0.071,
+# topword med 0.093/max 0.30 at sf0.01)
+REP_TOP2_MAX = 0.125
+REP_DUPTRI_MAX = 0.05
+REP_TOPWORD_MAX = 0.15
+
+
+@q("text_repetition_filter", f"""
+WITH nw AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents),
+topbig AS (
+  SELECT doc_id, MAX(c) AS mc FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM ({_BIGRAMS_SQL}) GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tristat AS (
+  SELECT doc_id, COUNT(*) AS tot, COUNT(DISTINCT g) AS dis
+  FROM ({_TRIGRAMS_SQL}) GROUP BY doc_id),
+topw AS (
+  SELECT doc_id, MAX(c) AS mw FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM ({_WORDS_SQL}) GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT nw.doc_id,
+       ROUND(COALESCE(2.0 * mc / n_words, 0), 6) AS top_bigram_frac,
+       ROUND(COALESCE(1.0 - dis * 1.0 / tot, 0), 6) AS dup_trigram_frac,
+       ROUND(COALESCE(mw * 1.0 / n_words, 0), 6) AS top_word_frac,
+       CASE WHEN COALESCE(2.0 * mc / n_words, 0) <= {REP_TOP2_MAX}
+             AND COALESCE(1.0 - dis * 1.0 / tot, 0) <= {REP_DUPTRI_MAX}
+             AND COALESCE(mw * 1.0 / n_words, 0) <= {REP_TOPWORD_MAX}
+            THEN 1 ELSE 0 END AS keep
+FROM nw
+LEFT JOIN topbig USING (doc_id)
+LEFT JOIN tristat USING (doc_id)
+LEFT JOIN topw USING (doc_id)
+""")
+def text_repetition_filter(spark, sf):
+    """Gopher-style repetition gates: fraction of words covered by the
+    most frequent bigram, fraction of duplicate trigram occurrences, and
+    the top single-word frequency — docs exceeding any frozen threshold
+    drop (keep=0).  All three metrics are groupBy aggregates over the
+    shuffle-free shingle explode (one scan, three map-side-combinable
+    aggs, one join keyed on doc_id) — no windows over the full corpus,
+    so the shape survives 100 TB unchanged."""
+    d = t(spark, sf, "documents")
+    nw = d.select("doc_id",
+                  F.size(F.split("text", " ")).cast("long").alias("n_words"))
+    topbig = (_shingles(d, 2).groupBy("doc_id", "g")
+              .agg(F.count("*").alias("c"))
+              .groupBy("doc_id").agg(F.max("c").alias("mc")))
+    tristat = (_trigrams(d).groupBy("doc_id")
+               .agg(F.count("*").alias("tot"),
+                    F.countDistinct("g").alias("dis")))
+    topw = (_words(d).groupBy("doc_id", "w")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("mw")))
+    top2 = F.coalesce(2.0 * F.col("mc") / F.col("n_words"), F.lit(0.0))
+    duptri = F.coalesce(1.0 - F.col("dis") / F.col("tot"), F.lit(0.0))
+    topword = F.coalesce(F.col("mw") / F.col("n_words"), F.lit(0.0))
+    return (nw.join(topbig, "doc_id", "left")
+            .join(tristat, "doc_id", "left")
+            .join(topw, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(top2, 6).alias("top_bigram_frac"),
+                F.round(duptri, 6).alias("dup_trigram_frac"),
+                F.round(topword, 6).alias("top_word_frac"),
+                F.when((top2 <= REP_TOP2_MAX) & (duptri <= REP_DUPTRI_MAX)
+                       & (topword <= REP_TOPWORD_MAX), 1)
+                .otherwise(0).alias("keep")))
+
+
+@q("text_tfidf_topk", f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf
+       FROM ({_WORDS_SQL}) GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df
+       FROM ({_WORDS_SQL}) GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         ROUND(tf.tf * LN(nn.c * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN nn)
+SELECT doc_id, w, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, w) AS rk
+  FROM scored) WHERE rk <= 3
+""")
+def text_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), ties broken on
+    the term).  Ranking happens on the ROUNDED score so cross-engine
+    double noise can't flip the order.  Scale shape: tf and df are both
+    map-side-combinable aggs; the join keys on the term; the final
+    window partitions by doc_id (bounded partitions).  The corpus-size
+    scalar rides a broadcast cross join, not a driver collect."""
+    d = t(spark, sf, "documents")
+    w = _words(d)
+    nn = d.agg(F.count("*").alias("c"))
+    tf = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = w.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df, "w").crossJoin(F.broadcast(nn))
+              .select("doc_id", "w",
+                      F.round(F.col("tf") * F.log(F.col("c") / F.col("df")),
+                              6).alias("tfidf")))
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "w", "tfidf", "rk"))
+
+
+@q("index_inverted", f"""
+WITH occ AS (SELECT doc_id, w, COUNT(*) AS c
+             FROM ({_WORDS_SQL}) GROUP BY doc_id, w)
+SELECT w, COUNT(*) AS df, SUM(c) AS n_total,
+       array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings_head
+FROM occ GROUP BY w
+""")
+def index_inverted(spark, sf):
+    """Inverted index over the corpus: per token, document frequency,
+    total occurrences, and the first 5 posting doc_ids.  One explode +
+    two groupBys (both map-side-combinable).  The postings sample uses
+    collect_list within the token group — bounded here; at 100 TB a
+    stopword's posting list is the skew risk, so cap with a two-phase
+    per-partition top-k (as text_ngram_topk does) or store postings
+    bucketed by doc_id range instead of inline."""
+    w = _words(t(spark, sf, "documents"))
+    occ = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return (occ.groupBy("w")
+            .agg(F.count("*").alias("df"),
+                 F.sum("c").alias("n_total"),
+                 F.concat_ws(",", F.transform(
+                     F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                     lambda x: x.cast("string"))).alias("postings_head")))
+
+
+# =========================================================================
+# ANN: IVF (inverted-file) index — the coarse-quantizer scale path
+# =========================================================================
+
+IVF_N_CELLS = 16   # coarse centroids = embeddings with vec_id < 16 (frozen)
+IVF_N_PROBE = 2    # cells probed per query
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""ROUND(
+      list_aggregate(list_transform(list_zip({a}, {b}),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+      / SQRT(list_aggregate(list_transform({a},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+      / SQRT(list_aggregate(list_transform({b},
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)"""
+
+
+@q("ann_ivf_topk", f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
+asg AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+probe AS (
+  SELECT query_id, qe, cid AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8) WHERE rn <= {IVF_N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qe', 'a.embedding')} AS cos
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM cand) WHERE rk <= 5
+""")
+def ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN: every vector is assigned to its nearest
+    coarse centroid (argmax cosine over {IVF_N_CELLS} fixed centroids,
+    tie-break lowest centroid id), queries probe their {IVF_N_PROBE}
+    nearest cells and brute-force only those cells' members.  Centroids
+    here are the first {IVF_N_CELLS} corpus vectors (frozen so the
+    oracle can re-derive them); at scale they come from a k-means fit
+    and are a broadcast model artifact exactly as used here.  Cell
+    assignment is a narrow map (argmax over an in-row struct array —
+    no shuffle, no window); only the probe-join and final top-k
+    shuffle, both keyed on the cell / query id.  Assignment compares
+    ROUNDED cosines so the argmax is bit-portable across engines."""
+    e = t(spark, sf, "embeddings")
+    cents = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < IVF_N_CELLS)
+        .select("vec_id", "embedding").collect())
+
+    def cell_structs(vec):
+        # struct(cs, -cid): array_max picks max cs, then max(-cid) = min cid
+        return F.array(*[
+            F.struct(
+                F.round(_cos_col(vec, F.array(*[F.lit(float(x)) for x in c])),
+                        6).alias("cs"),
+                F.lit(-cid).alias("ncid"))
+            for cid, c in cents])
+
+    arr = cell_structs(F.col("embedding"))
+    asg = e.select("vec_id", "embedding",
+                   (-F.array_max(arr)["ncid"]).alias("cell"))
+    top2 = F.slice(F.reverse(F.array_sort(arr)), 1, IVF_N_PROBE)
+    probe = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qe"),
+                     F.explode(F.transform(top2, lambda s: -s["ncid"]))
+                     .alias("cell")))
+    cand = (probe.join(asg, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(_cos_col(F.col("qe"), F.col("embedding")), 6)
+                    .alias("cos")))
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                 "neighbor_id")
+    return (cand.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rk"))

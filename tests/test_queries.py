@@ -130,3 +130,24 @@ def test_approx_count_distinct_close(spark, con):
         "FROM lineitem").fetchone()
     assert abs(got["approx_parts"] - want[0]) / want[0] < 0.1
     assert abs(got["approx_orders"] - want[1]) / want[1] < 0.1
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2 of 16 cells must reach a fixed recall bar vs
+    exact brute force (the probed cells cover the true neighborhood for
+    most queries on this corpus)."""
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in Q["ann_bruteforce_topk"](spark, SF).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in Q["ann_ivf_topk"](spark, SF).collect()}
+    assert ivf, "IVF returned nothing"
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.3f} below 0.5 bar"
+
+
+def test_repetition_filter_splits_corpus(spark):
+    """The frozen Gopher-style thresholds must actually split the
+    corpus — a gate that keeps (or drops) everything tests nothing."""
+    rows = Q["text_repetition_filter"](spark, SF).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)} kept"
