@@ -56,6 +56,8 @@ _PRIORITY = [
     "dedup_cluster_cc", "graph_pagerank",
     "text_repetition_filter", "text_tfidf_topk",
     "index_inverted", "ann_ivf_topk",
+    "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "source_text_lines", "source_warcish_reader",
     # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
     #    their driver evidence must be refreshed first --
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",

@@ -30,4 +30,4 @@ def q(name: str, oracle: Optional[str] = None):
 
 def load_all() -> None:
     """Import every registering module (idempotent)."""
-    from . import crawlq, graphops, queries, textops  # noqa: F401
+    from . import crawlq, graphops, queries, sources, textops  # noqa: F401

@@ -1,0 +1,205 @@
+"""Source/sink format coverage beyond parquet — CSV, JSON Lines, ORC,
+text, and a WARC-style binary record reader (the crawl-archive format).
+
+Each operator is a ROUND-TRIP: the engine writes the foreign format from
+the canonical parquet table, reads it back through the matching Spark
+source, and aggregates; the DuckDB oracle computes the same aggregate
+directly on the parquet view.  A hash match therefore proves the values
+survived the format boundary bit-exactly (modulo the documented
+timestamp-precision caveats), not just that the reader ran.
+
+Scratch files go to a fresh ``tempfile.mkdtemp`` per invocation and are
+left in place so the returned (lazy) DataFrame stays re-evaluable.
+At scale these writers/readers are the same code path — Spark's
+CSV/JSON/ORC/text/binaryFile sources are splittable (JSON Lines, not
+multiline) and predicate/partition pruning applies to ORC like parquet.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import q, t
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"sparkcrawl_{prefix}_")
+
+
+@q("source_csv_roundtrip", """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+""")
+def source_csv_roundtrip(spark, sf):
+    """nation → CSV (header) → read back with an explicit schema →
+    aggregate.  Schema-on-read is explicit (never inferSchema in
+    production: one extra full scan and type drift)."""
+    path = _scratch("csv")
+    t(spark, sf, "nation").write.mode("overwrite").option("header", True) \
+        .csv(path)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    back = spark.read.option("header", True).schema(schema).csv(path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count("*").alias("n_nations"),
+                 F.min("n_name").alias("first_name")))
+
+
+@q("source_json_roundtrip", """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""")
+def source_json_roundtrip(spark, sf):
+    """orders → JSON Lines → read back (explicit schema) → per-year
+    rollup.  Doubles round-trip exactly (shortest-repr serialization);
+    timestamps round-trip to millisecond precision — the aggregate keys
+    on the year, so the documented sub-ms truncation can't bite.  JSON
+    Lines (one object per line) keeps the source splittable at 100 TB;
+    multiline JSON would not be."""
+    path = _scratch("json")
+    orders = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    orders.write.mode("overwrite").json(path)
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+    ])
+    back = spark.read.schema(schema).json(path)
+    return (back.groupBy(F.year("o_orderdate").alias("yr"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@q("source_orc_roundtrip", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def source_orc_roundtrip(spark, sf):
+    """lineitem → ORC → read back → pricing rollup.  ORC is the other
+    columnar production format Spark reads natively (vectorized reader,
+    predicate pushdown, column pruning — same scan properties the
+    parquet plans are pinned for)."""
+    path = _scratch("orc")
+    t(spark, sf, "lineitem").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.count("*").alias("n_rows")))
+
+
+@q("source_text_lines", """
+SELECT COUNT(*) AS n_lines,
+       SUM(len(string_split(text, ' '))) AS n_words,
+       SUM(LENGTH(text)) AS n_chars
+FROM documents
+""")
+def source_text_lines(spark, sf):
+    """documents.text → line-oriented text files → read back via the
+    text source → corpus totals.  The text source is the raw-corpus
+    workhorse (one string column per line, splittable); totals prove
+    every line and every byte survived."""
+    path = _scratch("text")
+    t(spark, sf, "documents").select(
+        F.coalesce("text", F.lit("")).alias("value")) \
+        .write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.size(F.split("value", " "))).alias("n_words"),
+        F.sum(F.length("value")).alias("n_chars"))
+
+
+# ----------------------------------------------------------- WARC-ish
+
+_WARC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("body", T.StringType()),
+])
+
+
+def _parse_warcish(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Parse concatenated WARC-style records out of whole-file byte
+    blobs: scan for the version line, read headers to the blank line,
+    slice the body by Content-Length (robust to anything the body
+    contains, including blank lines or literal 'WARC/1.0')."""
+    for b in batches:
+        ids, uris, bodies = [], [], []
+        for blob in b["content"]:
+            data = bytes(blob)
+            pos = 0
+            while True:
+                start = data.find(b"WARC/1.0", pos)
+                if start < 0:
+                    break
+                hdr_end = data.find(b"\n\n", start)
+                if hdr_end < 0:
+                    break
+                headers = {}
+                for line in data[start:hdr_end].decode("utf-8").split("\n")[1:]:
+                    k, _, v = line.partition(":")
+                    headers[k.strip().lower()] = v.strip()
+                n = int(headers["content-length"])
+                body = data[hdr_end + 2: hdr_end + 2 + n]
+                ids.append(int(headers["warc-record-id"]))
+                uris.append(headers["warc-target-uri"])
+                bodies.append(body.decode("utf-8"))
+                pos = hdr_end + 2 + n
+        yield pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "target_uri": uris, "body": bodies})
+
+
+@q("source_warcish_reader", """
+SELECT doc_id,
+       'http://docs' || (doc_id % 10) || '.example/d/' || doc_id AS target_uri,
+       md5(text) AS body_md5,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+""")
+def source_warcish_reader(spark, sf):
+    """Crawl-archive ingestion: render every document as a WARC-style
+    record (version line, Record-ID / Target-URI / Content-Length
+    headers, blank line, body), concatenate records into plain files,
+    then read them back through the binaryFile source and re-parse with
+    a vectorized mapInPandas record splitter.  Output is keyed off the
+    parsed HEADERS and the parsed body bytes, so a hash match proves
+    the full serialize→concatenate→split→parse cycle is lossless.
+    At 100 TB: real WARC is gzip-per-record over the same layout; the
+    per-file parse is embarrassingly parallel (binaryFile gives one row
+    per archive file, Arrow-batched)."""
+    path = _scratch("warc")
+    d = t(spark, sf, "documents")
+    uri = F.concat(F.lit("http://docs"), F.col("doc_id") % 10,
+                   F.lit(".example/d/"), F.col("doc_id"))
+    record = F.concat(
+        F.lit("WARC/1.0\n"),
+        F.lit("WARC-Record-ID: "), F.col("doc_id").cast("string"), F.lit("\n"),
+        F.lit("WARC-Target-URI: "), uri, F.lit("\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(F.encode("text", "UTF-8")).cast("string"),
+        F.lit("\n\n"), F.col("text"), F.lit("\n"))
+    d.select(record.alias("value")).write.mode("overwrite").text(path)
+    parsed = (spark.read.format("binaryFile").load(path)
+              .select("content").mapInPandas(_parse_warcish, _WARC_SCHEMA))
+    return parsed.select(
+        "doc_id", "target_uri",
+        F.md5(F.encode("body", "UTF-8")).alias("body_md5"),
+        F.octet_length(F.encode("body", "UTF-8")).cast("long")
+        .alias("n_bytes"))
