@@ -203,3 +203,59 @@ def source_warcish_reader(spark, sf):
         F.md5(F.encode("body", "UTF-8")).alias("body_md5"),
         F.octet_length(F.encode("body", "UTF-8")).cast("long")
         .alias("n_bytes"))
+
+
+# ------------------------------------------------- bucketed co-located join
+
+_BUCKETS = 8
+_BUCKET_TABLES: dict = {}  # (sf, name) -> catalog table name (session cache)
+
+
+def _bucketed_table(spark, sf: str, name: str, key: str) -> str:
+    """Write ``name`` as a bucketed+sorted external table (data in a
+    scratch dir, metadata in the session catalog) and return the catalog
+    name.  Bucketing pre-shuffles ONCE at write time; every later join
+    or aggregation keyed on ``key`` then runs exchange-free — the
+    pattern that amortizes the frontier⋈pages join at 100 TB."""
+    cached = _BUCKET_TABLES.get((sf, name))
+    if cached:
+        return cached
+    tbl = f"sc_bkt_{name}_{abs(hash((sf, name))) % 10**8}"
+    (t(spark, sf, name).write.mode("overwrite")
+     .bucketBy(_BUCKETS, key).sortBy(key)
+     .option("path", _scratch(f"bkt_{name}"))
+     .saveAsTable(tbl))
+    _BUCKET_TABLES[(sf, name)] = tbl
+    return tbl
+
+
+def bucketed_join_df(spark, sf):
+    """The pre-aggregation join of two co-bucketed tables — split out so
+    the plan test can assert it contains ZERO Exchange nodes."""
+    ot = _bucketed_table(spark, sf, "orders", "o_custkey")
+    ct = _bucketed_table(spark, sf, "customer", "c_custkey")
+    o = spark.table(ot).select("o_custkey", "o_totalprice")
+    c = spark.table(ct).select("c_custkey", "c_mktsegment")
+    # merge hint: without it the small side would broadcast at test SF
+    # and the co-location property being demonstrated wouldn't exercise
+    return o.hint("merge").join(
+        c, o["o_custkey"] == c["c_custkey"], "inner")
+
+
+@q("join_bucketed_colocated", """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def join_bucketed_colocated(spark, sf):
+    """Join two tables bucketed+sorted on the join key: the sort-merge
+    join needs NO shuffle on either side (pinned by test_plans) because
+    both sides' bucketing already satisfies the join's distribution
+    requirement.  At 100 TB this converts the biggest recurring join
+    from 2 full-data exchanges per run to zero — the write-time bucket
+    shuffle is paid once, not per query."""
+    j = bucketed_join_df(spark, sf)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))

@@ -143,3 +143,31 @@ def test_jaccard_candidates_are_lsh_not_allpairs(spark):
     plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Both sides bucketed+sorted on the join key → the sort-merge join
+    must need NO shuffle at all (the write-time bucket shuffle is paid
+    once, not per query)."""
+    from sparkcrawl.sources import bucketed_join_df
+    plan = plan_of(bucketed_join_df(spark, SF))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_tfidf_window_is_group_limited(spark):
+    """The per-doc top-3 must push a WindowGroupLimit below the exchange
+    (two-phase top-k), and the df side must broadcast."""
+    plan = plan_of(QUERIES["text_tfidf_topk"](spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """IVF cell assignment is an in-row argmax: the corpus side must
+    reach the probe join with no Exchange, and the tiny probe side must
+    broadcast."""
+    plan = plan_of(QUERIES["ann_ivf_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # exactly one exchange in the whole plan: the final top-k window
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
