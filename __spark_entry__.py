@@ -59,6 +59,7 @@ _PRIORITY = [
     "source_csv_roundtrip", "source_json_roundtrip",
     "source_orc_roundtrip", "source_text_lines", "source_warcish_reader",
     "join_bucketed_colocated",
+    "merge_upsert", "text_chunk_split", "crawl_sitemaps",
     # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
     #    their driver evidence must be refreshed first --
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",

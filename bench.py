@@ -40,6 +40,14 @@ HEADLINE = [
     "text_quality_score",      # string-builtin quality signals
     "crawl_extract_text",      # Arrow-UDF husk path
     "crawl_topk_per_host",     # salted politeness window
+    # round-3 additions (appended — earlier shapes stay frozen verbatim)
+    "dedup_cluster_cc",        # CC over LSH pairs (iterative join+agg)
+    "graph_pagerank",          # 3 PageRank rounds over the husked graph
+    "text_repetition_filter",  # Gopher repetition gates
+    "text_tfidf_topk",         # tf-idf + two-phase top-k window
+    "ann_ivf_topk",            # IVF coarse-quantizer ANN
+    "join_bucketed_colocated", # exchange-free co-located SMJ
+    "source_warcish_reader",   # WARC-style archive parse round-trip
 ]
 
 

@@ -352,3 +352,54 @@ def husker_scrape_fields(spark, sf):
     schema = ("doc_id long, lead_text string, first_href string, "
               "second_href string, n_anchors int")
     return pages.mapInPandas(scrape, schema)
+
+
+SITEMAP_CAP = 200  # URLs per sitemap file (the real spec caps at 50k)
+
+
+@q("crawl_sitemaps", f"""
+WITH u AS (
+  SELECT doc_id,
+         'docs' || (doc_id % 10) || '.example' AS host,
+         'http://docs' || (doc_id % 10) || '.example/d/' || doc_id AS loc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 10 ORDER BY doc_id) AS rk
+  FROM documents)
+SELECT host, CAST((rk - 1) // {SITEMAP_CAP} AS INT) AS sitemap_no,
+       COUNT(*) AS n_urls, MIN(loc) AS first_loc
+FROM u GROUP BY host, (rk - 1) // {SITEMAP_CAP}
+""")
+def crawl_sitemaps(spark, sf):
+    """Sitemap render + re-parse round trip: per host, URLs are packed
+    into <urlset> XML files capped at SITEMAP_CAP locs (the sitemap
+    spec's 50k-per-file rule, scaled down), then parsed BACK with
+    regexp_extract_all and re-aggregated — so the output is derived
+    from the parsed XML, proving the sitemap reader, while the oracle
+    re-derives it arithmetically.  Per-host file chunking is exactly
+    how seed ingestion consumes real sitemap indexes at scale (one row
+    per sitemap file → explode locs → frontier append)."""
+    d = t(spark, sf, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(F.lit("docs"), F.col("doc_id") % 10, F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("http://docs"), F.col("doc_id") % 10,
+                 F.lit(".example/d/"), F.col("doc_id")).alias("loc"))
+    rk = F.row_number().over(
+        Window.partitionBy("host").orderBy("doc_id"))
+    chunked = u.withColumn(
+        "sitemap_no", ((rk - 1) / SITEMAP_CAP).cast("int"))
+    frag = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "loc"))),
+        lambda s: F.concat(F.lit("<url><loc>"), s["loc"],
+                           F.lit("</loc></url>")))
+    xml = (chunked.groupBy("host", "sitemap_no")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+               F.array_join(frag, ""), F.lit("</urlset>")).alias("xml")))
+    parsed = xml.select(
+        "host", "sitemap_no",
+        F.explode(F.regexp_extract_all(
+            "xml", F.lit("<loc>([^<]+)</loc>"), F.lit(1))).alias("loc"))
+    return (parsed.groupBy("host", "sitemap_no")
+            .agg(F.count("*").alias("n_urls"),
+                 F.min("loc").alias("first_loc")))

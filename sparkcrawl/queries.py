@@ -744,3 +744,43 @@ def icebergish_time_travel(spark, sf):
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "snapshot_id long, mode string, n_rows long")
+
+
+@q("merge_upsert", """
+WITH src AS (
+  SELECT o_custkey AS k, ROUND(SUM(o_totalprice) / 1000, 2) AS delta
+  FROM orders GROUP BY o_custkey),
+srcx AS (
+  SELECT k, delta FROM src
+  UNION ALL
+  SELECT k + 1000000 AS k, delta FROM src WHERE k % 97 = 0),
+tgt AS (SELECT c_custkey AS k, c_acctbal FROM customer)
+SELECT COALESCE(tgt.k, srcx.k) AS k,
+       ROUND(COALESCE(c_acctbal, 0) + COALESCE(delta, 0), 2) AS acctbal,
+       CASE WHEN tgt.k IS NULL THEN 'insert'
+            WHEN srcx.k IS NULL THEN 'keep' ELSE 'update' END AS action
+FROM tgt FULL OUTER JOIN srcx ON tgt.k = srcx.k
+""")
+def merge_upsert(spark, sf):
+    """MERGE INTO semantics (Delta/Iceberg-style upsert) as pure
+    DataFrame ops: full-outer-join target and source on the key, update
+    matched rows, insert source-only rows, keep target-only rows, and
+    tag every row with its action.  Source rows with keys outside the
+    target domain (shifted by 1e6) exercise the insert branch.  One
+    shuffle on the merge key; at 100 TB the target is bucketed on the
+    key so the merge joins exchange-free (see join_bucketed_colocated)."""
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"),
+                                        "c_acctbal")
+    src = (t(spark, sf, "orders").groupBy(F.col("o_custkey").alias("k"))
+           .agg(F.round(F.sum("o_totalprice") / 1000, 2).alias("delta")))
+    srcx = src.union(
+        src.filter(F.col("k") % 97 == 0)
+        .select((F.col("k") + 1000000).alias("k"), "delta"))
+    j = c.join(srcx, "k", "full_outer")
+    return j.select(
+        "k",
+        F.round(F.coalesce("c_acctbal", F.lit(0.0))
+                + F.coalesce("delta", F.lit(0.0)), 2).alias("acctbal"),
+        F.when(F.col("c_acctbal").isNull(), "insert")
+        .when(F.col("delta").isNull(), "keep")
+        .otherwise("update").alias("action"))

@@ -1176,3 +1176,38 @@ def ann_ivf_topk(spark, sf):
     return (cand.withColumn("rk", F.row_number().over(win))
             .filter(F.col("rk") <= 5)
             .select("query_id", "neighbor_id", "cos", "rk"))
+
+
+CHUNK_WORDS = 32  # training-sequence chunk size (frozen for the oracle)
+
+
+@q("text_chunk_split", f"""
+SELECT doc_id, CAST((i - 1) // {CHUNK_WORDS} AS INT) AS chunk_id,
+       string_agg(w, ' ' ORDER BY i) AS chunk,
+       COUNT(*) AS n_tokens
+FROM ({_WORDS_SQL}) GROUP BY doc_id, (i - 1) // {CHUNK_WORDS}
+""")
+def text_chunk_split(spark, sf):
+    """Split documents into fixed-size word chunks (training-sequence
+    prep: context-window packing reads these).  Chunks are sliced from
+    the split array with higher-order functions — ZERO shuffle (the
+    grouped string_agg the oracle uses would shuffle every word; the
+    engine never leaves the row).  Scale: narrow map over the corpus,
+    output rows = Σ ceil(words/{CHUNK_WORDS}) regardless of skew."""
+    c = CHUNK_WORDS
+    base = t(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("_ws"))
+    arr = F.col("_ws")
+    n = F.size(arr)
+    nchunks = F.ceil(n / F.lit(c)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(F.sequence(F.lit(0), nchunks - 1),
+                    lambda i: F.array_join(F.slice(arr, i * c + 1, c), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (base.select("doc_id",
+                        F.posexplode(chunks).alias("chunk_id", "chunk"))
+            .select("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"),
+                    "chunk",
+                    F.size(F.split("chunk", " ")).cast("long")
+                    .alias("n_tokens")))
