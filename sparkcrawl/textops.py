@@ -1211,3 +1211,99 @@ def text_chunk_split(spark, sf):
                     "chunk",
                     F.size(F.split("chunk", " ")).cast("long")
                     .alias("n_tokens")))
+
+
+# frozen logistic-regression weights for the quality classifier (a real
+# deployment broadcasts fitted weights; frozen constants keep the oracle
+# able to re-derive the score in closed form)
+MODEL_W = (0.35, -2.1, 0.08)   # avg_word_len, stopword_ratio, n_words/100
+MODEL_B = -1.2
+
+
+@q("text_model_score", f"""
+WITH base AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5 AS n_the,
+         (LENGTH(' ' || text || ' ')
+          - LENGTH(REPLACE(' ' || text || ' ', ' a ', ''))) / 3 AS n_a
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         (n_chars - n_words + 1) * 1.0 / n_words AS awl,
+         (n_the + n_a) * 1.0 / n_words AS swr,
+         n_words / 100.0 AS nw
+  FROM base)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + EXP(-({MODEL_W[0]} * awl + {MODEL_W[1]} * swr
+                                + {MODEL_W[2]} * nw + {MODEL_B}))), 6)
+         AS score,
+       CASE WHEN 1.0 / (1.0 + EXP(-({MODEL_W[0]} * awl + {MODEL_W[1]} * swr
+                                    + {MODEL_W[2]} * nw + {MODEL_B})))
+                 > 0.5 THEN 1 ELSE 0 END AS keep
+FROM feats
+""")
+def text_model_score(spark, sf):
+    """Model-inference shape: a (frozen) logistic-regression quality
+    classifier scored over Arrow batches with numpy — weights ride the
+    UDF closure exactly as broadcast fitted weights would, and the
+    oracle re-derives the sigmoid in closed form, so the whole
+    batch-inference path is value-verified, not just smoke-tested.
+    Features are the text_quality_score signals.  Scale: embarrassingly
+    parallel mapInPandas, model is O(features) per executor; swap the
+    linear model for an ONNX/quantized scorer without touching the
+    plumbing."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("keep", T.IntegerType()),
+    ])
+    w0, w1, w2 = MODEL_W
+    b = MODEL_B
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            text = batch["text"].fillna("")
+            n_chars = text.str.len().to_numpy(dtype=np.float64)
+            n_words = (text.str.count(" ") + 1).to_numpy(dtype=np.float64)
+            padded = " " + text + " "
+            n_the = ((padded.str.len()
+                      - padded.str.replace(" the ", "", regex=False)
+                      .str.len()) / 5).to_numpy(dtype=np.float64)
+            n_a = ((padded.str.len()
+                    - padded.str.replace(" a ", "", regex=False)
+                    .str.len()) / 3).to_numpy(dtype=np.float64)
+            awl = (n_chars - n_words + 1) / n_words
+            swr = (n_the + n_a) / n_words
+            z = w0 * awl + w1 * swr + w2 * (n_words / 100.0) + b
+            s = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "score": np.round(s, 6),
+                "keep": (s > 0.5).astype("int32")})
+
+    return d.mapInPandas(score, schema)
+
+
+@q("embed_centroids", """
+SELECT label, CAST(dim AS INT) AS dim,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+GROUP BY label, dim
+""")
+def embed_centroids(spark, sf):
+    """Per-label embedding centroids (the k-means / IVF training step:
+    ann_ivf_topk consumes exactly this artifact at scale).  posexplode
+    to (label, dim, value) then one map-side-combinable avg — the
+    shuffle carries labels × dims rows, not vectors."""
+    e = t(spark, sf, "embeddings")
+    return (e.select("label", F.posexplode("embedding").alias("d0", "v"))
+            .select("label", (F.col("d0") + 1).cast("int").alias("dim"),
+                    F.col("v").cast("double").alias("v"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid")))
