@@ -110,3 +110,18 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     )
     query.awaitTermination()
     return query
+
+
+def dedup_event_stream(events: DataFrame,
+                       watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — the URL-seen-set analog on a
+    true stream.  ``dropDuplicatesWithinWatermark`` keeps dedup state
+    only for ids newer than the watermark, so state size is bounded by
+    rate × watermark instead of growing with the full history (the
+    batch crawl engine gets the same bound from its per-bucket filter
+    blobs + exact anti-join).  On a batch frame it degrades to plain
+    dropDuplicates so stream ≡ batch is assertable."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(["event_id"]))
+    return events.dropDuplicates(["event_id"])

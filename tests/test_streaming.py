@@ -75,3 +75,28 @@ def test_stateful_user_totals_equals_batch(spark, tmp_path):
     assert list(got["n_events"]) == list(want["n_events"])
     assert [round(x, 2) for x in got["total_value"]] == \
         [round(x, 2) for x in want["total_value"]]
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same events delivered in TWO
+    micro-batches (duplicated source files) must come out exactly once —
+    the streaming analog of the crawl seen-set."""
+    import shutil
+
+    flat = tmp_path / "dups"
+    flat.mkdir()
+    # identical file twice -> every event arrives in two micro-batches
+    shutil.copy(f"{SF}/events.parquet", flat / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", flat / "part-1.parquet")
+
+    stream = streaming.read_event_stream(spark, str(flat),
+                                         max_files_per_trigger=1)
+    streaming.run_available_now(
+        streaming.dedup_event_stream(stream),
+        str(tmp_path / "ckpt_dedup"), "dedup_events", output_mode="append")
+    got = spark.table("dedup_events")
+    batch = streaming.dedup_event_stream(
+        spark.read.parquet(f"{SF}/events.parquet"))
+    assert got.count() == batch.count()
+    assert (_collect_sorted(got.select("event_id"))
+            == _collect_sorted(batch.select("event_id")))
