@@ -60,7 +60,7 @@ _PRIORITY = [
     "source_orc_roundtrip", "source_text_lines", "source_warcish_reader",
     "join_bucketed_colocated",
     "merge_upsert", "text_chunk_split", "crawl_sitemaps",
-    "text_model_score", "embed_centroids",
+    "text_model_score", "embed_centroids", "multimodal_frame_sample",
     # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
     #    their driver evidence must be refreshed first --
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",

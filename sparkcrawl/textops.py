@@ -1307,3 +1307,47 @@ def embed_centroids(spark, sf):
                     F.col("v").cast("double").alias("v"))
             .groupBy("label", "dim")
             .agg(F.round(F.avg("v"), 6).alias("centroid")))
+
+
+FRAME_CHARS = 64   # stand-in frame size (chars of the opaque payload)
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+@q("multimodal_frame_sample", f"""
+WITH f AS (
+  SELECT d.doc_id, k.k,
+         substr(d.text, k.k * {FRAME_CHARS} + 1, {FRAME_CHARS}) AS frame
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS k) k
+  WHERE k.k < CAST(CEIL(LENGTH(d.text) / {FRAME_CHARS}.0) AS INT))
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(CASE WHEN k % {FRAME_STRIDE} = 0 THEN 1 ELSE 0 END) AS INT)
+         AS n_sampled,
+       md5(string_agg(CASE WHEN k % {FRAME_STRIDE} = 0 THEN frame END,
+                      '' ORDER BY k)) AS sample_md5
+FROM f GROUP BY doc_id
+""")
+def multimodal_frame_sample(spark, sf):
+    """Frame sampling over an opaque payload (video-ingest shape): the
+    payload is split into fixed-size frames, every {FRAME_STRIDE}th
+    frame is kept, and the sampled content is checksummed — so the
+    oracle verifies the actual sampled BYTES, not just counts.  The
+    real decoder is stubbed (no codec libs; text chars stand in for
+    payload bytes) but the slicing arithmetic, in-row higher-order
+    sampling (zero shuffle), and checksum plumbing are the production
+    path.  Scale: narrow map; a real video table swaps substr for a
+    mapInPandas codec call with the same frame-index math."""
+    fc, st = FRAME_CHARS, FRAME_STRIDE
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    n_frames = F.ceil(F.length("text") / F.lit(float(fc))).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda k: F.col("text").substr(k * fc + 1, F.lit(fc)))
+    sampled = F.filter(frames, lambda x, i: i % st == 0)
+    return d.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.size(sampled).alias("n_sampled"),
+        F.md5(F.encode(F.array_join(sampled, ""), "UTF-8"))
+        .alias("sample_md5"))
