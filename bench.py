@@ -101,11 +101,21 @@ def main() -> None:
     from sparkcrawl.rounds import CrawlEngine
     from sparkcrawl.schemas import ROBOTS
 
+    def settle() -> None:
+        """Quiesce before a timed probe: drop cached SQL plans/blocks
+        from the query suite and flush dirty pages — writeback from the
+        preceding queries' scratch writes otherwise stalls the probe's
+        first round (measured 34.7 s → 112 s on the 20k probe)."""
+        spark.catalog.clearCache()
+        os.sync()
+
     def crawl_probe(tag: str, n_pages: int, n_seeds: int, budget: int,
-                    rounds: int, fat: int, aqe: bool) -> tuple:
-        wd = f"/tmp/sparkcrawl_bench_{tag}"
+                    rounds: int, fat: int, aqe: bool,
+                    base: str = "/tmp") -> tuple:
+        wd = f"{base}/sparkcrawl_bench_{tag}"
         shutil.rmtree(wd, ignore_errors=True)
         os.makedirs(wd)
+        settle()
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         try:
             t0 = time.time()
@@ -128,6 +138,7 @@ def main() -> None:
     wd = "/tmp/sparkcrawl_bench_entry"
     shutil.rmtree(wd, ignore_errors=True)
     os.makedirs(wd)
+    settle()
     t0 = time.time()
     eng = CrawlEngine(
         spark, wd,
@@ -147,6 +158,15 @@ def main() -> None:
         rounds=4, fat=20, aqe=False)
     timings["crawl_4rounds_120k"] = big_secs
 
+    # same frozen shape with state on tmpfs: the disk-noise-free
+    # compute headline (the sandbox's single shared disk swings the
+    # /tmp probes ±30% between identical runs on a bad day; /dev/shm
+    # isolates the engine from that).  urls_per_sec_shm reports it.
+    shm_secs, shm_extracted = crawl_probe(
+        "120kshm", n_pages=120000, n_seeds=30000, budget=40000,
+        rounds=4, fat=20, aqe=False, base="/dev/shm")
+    timings["crawl_4rounds_120k_shm"] = shm_secs
+
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -157,6 +177,7 @@ def main() -> None:
         "rows": rows,
         "crawl_urls_extracted": big_extracted,
         "crawl_urls_per_sec": round(big_extracted / big_secs, 1),
+        "crawl_urls_per_sec_shm": round(shm_extracted / shm_secs, 1),
         "crawl20k_urls_extracted": extracted_20k,
         "crawl20k_urls_per_sec": round(extracted_20k / crawl_secs, 1),
     }), flush=True)

@@ -216,7 +216,10 @@ class CrawlEngine:
                   .cogroup(prev.groupBy("host_bucket"))
                   .applyInPandas(build_merge, SEEN_SET))
         self.seen.replace(merged, round_no)
-        if self.rebuild_on_saturation:
+        # only the cuckoo backend can overflow (bloom fpp degrades instead
+        # of raising), so the bloom path skips the saturation-scan job —
+        # it would be one wasted read+collect per round
+        if self.rebuild_on_saturation and self.seen_filter == "cuckoo":
             self._rebuild_saturated(round_no)
 
     def _rebuild_saturated(self, round_no: int) -> None:
