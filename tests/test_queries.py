@@ -151,3 +151,32 @@ def test_repetition_filter_splits_corpus(spark):
     rows = Q["text_repetition_filter"](spark, SF).collect()
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows), f"degenerate gate: {kept}/{len(rows)} kept"
+
+
+def test_chunk_split_reconstructs_documents(spark):
+    """Concatenating a doc's chunks in chunk_id order must reproduce the
+    original text exactly — no word lost or duplicated at boundaries."""
+    rows = Q["text_chunk_split"](spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    assert set(by_doc) == set(docs)
+    for d, chunks in by_doc.items():
+        rebuilt = " ".join(c for _, c in sorted(chunks))
+        assert rebuilt == docs[d], f"doc {d} chunk reconstruction differs"
+
+
+def test_merge_upsert_actions_partition(spark):
+    """Every target row appears exactly once tagged update/keep; every
+    shifted source key appears as insert; no other actions exist."""
+    rows = Q["merge_upsert"](spark, SF).collect()
+    actions = {}
+    for r in rows:
+        actions.setdefault(r["action"], set()).add(r["k"])
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert set(actions) <= {"update", "keep", "insert"}
+    assert len(actions.get("update", ()) | set(actions.get("keep", ()))) == n_cust
+    assert actions.get("insert"), "no insert branch exercised"
+    assert all(k >= 1000000 for k in actions["insert"])
