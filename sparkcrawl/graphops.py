@@ -191,3 +191,47 @@ def graph_pagerank(spark, sf, iters: int = PR_ITERS):
                             F.round("pr", 8).alias("pagerank"))
     finally:
         edges_deg.unpersist()
+
+
+# ------------------------------------------- semantic dedup clusters
+
+from .textops import _COS_PAIR_SQL, dedup_embedding_cosine  # noqa: E402
+
+
+@q("dedup_semantic_clusters", f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_COS_PAIR_SQL}) WHERE cos >= 0.4),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CASE WHEN vec_id = cluster_id THEN 1 ELSE 0 END AS keep
+FROM comp
+""")
+def dedup_semantic_clusters(spark, sf):
+    """SEMANTIC dedup decision: connected components over the
+    embedding-cosine near-dup pair graph (dedup_embedding_cosine ≥ 0.4)
+    — the embedding-space twin of dedup_cluster_cc's lexical clusters.
+    One canonical vector per cluster survives (min vec_id).  Same
+    min-label propagation engine; same recursive-CTE oracle shape."""
+    e = t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"))
+    pairs = dedup_embedding_cosine(spark, sf)
+    edges = (pairs.select(F.col("vec_a").alias("src"),
+                          F.col("vec_b").alias("dst"))
+             .union(pairs.select(F.col("vec_b").alias("src"),
+                                 F.col("vec_a").alias("dst"))))
+    comp = connected_components(e, edges)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0).alias("keep"))

@@ -1351,3 +1351,47 @@ def multimodal_frame_sample(spark, sf):
         F.size(sampled).alias("n_sampled"),
         F.md5(F.encode(F.array_join(sampled, ""), "UTF-8"))
         .alias("sample_md5"))
+
+
+DECON_FRAC = 0.1  # contamination gate on cross-set trigram overlap
+
+
+@q("eval_decontaminate", f"""
+WITH ev AS (
+  SELECT DISTINCT g FROM ({_TRIGRAMS_SQL}) WHERE doc_id % 50 = 0),
+st AS (
+  SELECT t.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM ({_TRIGRAMS_SQL}) t LEFT JOIN ev ON ev.g = t.g
+  WHERE t.doc_id % 50 <> 0
+  GROUP BY t.doc_id)
+SELECT doc_id, n_grams, n_hit,
+       ROUND(n_hit * 1.0 / n_grams, 6) AS overlap_frac,
+       CASE WHEN n_hit * 1.0 / n_grams > {DECON_FRAC} THEN 0 ELSE 1 END
+         AS keep
+FROM st
+""")
+def eval_decontaminate(spark, sf):
+    """Train/eval decontamination: every training doc is scored by the
+    fraction of its trigram occurrences that also appear in the held-out
+    eval set (docs with doc_id %% 50 == 0 stand in for the benchmark);
+    docs above DECON_FRAC drop.  This is the n-gram-overlap
+    contamination check run before every serious pretraining job.
+    Scale shape: the eval gram set is small and bounded (benchmarks are
+    KBs, corpora are TBs) — it broadcasts, so scoring is one map-side
+    join + one map-side-combinable agg per doc; at 100 TB hash the
+    grams (xxhash64) to shrink the broadcast."""
+    tri = _trigrams(t(spark, sf, "documents"))
+    ev = (tri.filter(F.col("doc_id") % 50 == 0)
+          .select("g").distinct())
+    corpus = tri.filter(F.col("doc_id") % 50 != 0)
+    hits = (corpus.join(F.broadcast(ev.withColumn("_hit", F.lit(1))),
+                        "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit")))
+    frac = F.col("n_hit") / F.col("n_grams")
+    return hits.select(
+        "doc_id", "n_grams", "n_hit",
+        F.round(frac, 6).alias("overlap_frac"),
+        F.when(frac > DECON_FRAC, 0).otherwise(1).alias("keep"))
