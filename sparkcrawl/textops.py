@@ -1395,3 +1395,53 @@ def eval_decontaminate(spark, sf):
         "doc_id", "n_grams", "n_hit",
         F.round(frac, 6).alias("overlap_frac"),
         F.when(frac > DECON_FRAC, 0).otherwise(1).alias("keep"))
+
+
+@q("embed_kmeans_iter", f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
+asg AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+SELECT cell, CAST(dim AS INT) AS dim,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+       COUNT(DISTINCT vec_id) AS cell_size
+FROM (SELECT vec_id, cell, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS v
+      FROM asg)
+GROUP BY cell, dim
+""")
+def embed_kmeans_iter(spark, sf):
+    """One full k-means iteration: assign every vector to its nearest
+    seed centroid (the IVF coarse quantizer's frozen cells, same
+    rounded-argmax rule as ann_ivf_topk), then recompute each cell's
+    mean per dimension — the update step whose output feeds the next
+    assignment round.  Iterating this to convergence IS k-means; the
+    oracle verifies one exact step.  Scale shape: assignment is a
+    narrow in-row argmax (centroids broadcast as literals, no shuffle);
+    the update is one map-side-combinable avg keyed on (cell, dim), so
+    the shuffle carries cells × dims rows, never vectors."""
+    e = t(spark, sf, "embeddings")
+    cents = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < IVF_N_CELLS)
+        .select("vec_id", "embedding").collect())
+    arr = F.array(*[
+        F.struct(
+            F.round(_cos_col(F.col("embedding"),
+                             F.array(*[F.lit(float(x)) for x in c])),
+                    6).alias("cs"),
+            F.lit(-cid).alias("ncid"))
+        for cid, c in cents])
+    asg = e.select("vec_id", "embedding",
+                   (-F.array_max(arr)["ncid"]).alias("cell"))
+    return (asg.select("vec_id", "cell",
+                       F.posexplode("embedding").alias("d0", "v"))
+            .select("vec_id", "cell", (F.col("d0") + 1).cast("int").alias("dim"),
+                    F.col("v").cast("double").alias("v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid"),
+                 F.countDistinct("vec_id").alias("cell_size")))
