@@ -62,6 +62,7 @@ _PRIORITY = [
     "merge_upsert", "text_chunk_split", "crawl_sitemaps",
     "text_model_score", "embed_centroids", "multimodal_frame_sample",
     "eval_decontaminate", "dedup_semantic_clusters", "embed_kmeans_iter",
+    "text_unigram_ppl", "crawl_host_rollup",
     # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
     #    their driver evidence must be refreshed first --
     "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",

@@ -403,3 +403,27 @@ def crawl_sitemaps(spark, sf):
     return (parsed.groupBy("host", "sitemap_no")
             .agg(F.count("*").alias("n_urls"),
                  F.min("loc").alias("first_loc")))
+
+
+@q("crawl_host_rollup", """
+SELECT 'docs' || (doc_id % 10) || '.example' AS host,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+""")
+def crawl_host_rollup(spark, sf):
+    """Per-host corpus rollup (doc volume, size, language spread) — the
+    host-level quality table a crawl scheduler feeds back into priority
+    (A7) and budget (A8) decisions.  One map-side-combinable agg keyed
+    on host."""
+    d = t(spark, sf, "documents")
+    host = F.concat(F.lit("docs"), F.col("doc_id") % 10,
+                    F.lit(".example"))
+    return (d.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.min("doc_id").alias("first_doc")))

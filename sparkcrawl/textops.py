@@ -1445,3 +1445,33 @@ def embed_kmeans_iter(spark, sf):
             .groupBy("cell", "dim")
             .agg(F.round(F.avg("v"), 6).alias("centroid"),
                  F.countDistinct("vec_id").alias("cell_size")))
+
+
+@q("text_unigram_ppl", f"""
+WITH counts AS (
+  SELECT w, COUNT(*) AS c FROM ({_WORDS_SQL}) GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM counts),
+scored AS (
+  SELECT ws.doc_id, LN(counts.c * 1.0 / tot.n) AS lp
+  FROM ({_WORDS_SQL}) ws
+  JOIN counts USING (w) CROSS JOIN tot)
+SELECT doc_id, ROUND(EXP(-AVG(lp)), 4) AS ppl
+FROM scored GROUP BY doc_id
+""")
+def text_unigram_ppl(spark, sf):
+    """Per-document unigram language-model perplexity over the corpus's
+    own word distribution — the CCNet-style LM-filtering signal (low
+    ppl = head-like text, high ppl = tail/garbage; real pipelines swap
+    in a trained KenLM, the plumbing is identical).  The model (word →
+    probability) is a corpus aggregate that joins back map-side; one
+    scan builds it, one scan scores.  At 100 TB the vocabulary table
+    broadcasts (natural-language vocab ≪ corpus) so scoring is
+    shuffle-free per doc."""
+    w = _words(t(spark, sf, "documents")).select("doc_id", "w")
+    counts = w.groupBy("w").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    scored = (w.join(F.broadcast(counts), "w")
+              .crossJoin(F.broadcast(tot))
+              .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.exp(-F.avg("lp")), 4).alias("ppl")))
