@@ -769,18 +769,20 @@ def merge_upsert(spark, sf):
     target domain (shifted by 1e6) exercise the insert branch.  One
     shuffle on the merge key; at 100 TB the target is bucketed on the
     key so the merge joins exchange-free (see join_bucketed_colocated)."""
-    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("k"),
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("tk"),
                                         "c_acctbal")
-    src = (t(spark, sf, "orders").groupBy(F.col("o_custkey").alias("k"))
+    src = (t(spark, sf, "orders").groupBy(F.col("o_custkey").alias("sk"))
            .agg(F.round(F.sum("o_totalprice") / 1000, 2).alias("delta")))
     srcx = src.union(
-        src.filter(F.col("k") % 97 == 0)
-        .select((F.col("k") + 1000000).alias("k"), "delta"))
-    j = c.join(srcx, "k", "full_outer")
+        src.filter(F.col("sk") % 97 == 0)
+        .select((F.col("sk") + 1000000).alias("sk"), "delta"))
+    # branch on the pre-coalesce JOIN KEYS, never on value-column
+    # nullness — a NULL c_acctbal or delta must not flip the action
+    j = c.join(srcx, c["tk"] == srcx["sk"], "full_outer")
     return j.select(
-        "k",
+        F.coalesce("tk", "sk").alias("k"),
         F.round(F.coalesce("c_acctbal", F.lit(0.0))
                 + F.coalesce("delta", F.lit(0.0)), 2).alias("acctbal"),
-        F.when(F.col("c_acctbal").isNull(), "insert")
-        .when(F.col("delta").isNull(), "keep")
+        F.when(F.col("tk").isNull(), "insert")
+        .when(F.col("sk").isNull(), "keep")
         .otherwise("update").alias("action"))

@@ -8,8 +8,10 @@ directly on the parquet view.  A hash match therefore proves the values
 survived the format boundary bit-exactly (modulo the documented
 timestamp-precision caveats), not just that the reader ran.
 
-Scratch files go to a fresh ``tempfile.mkdtemp`` per invocation and are
-left in place so the returned (lazy) DataFrame stays re-evaluable.
+Scratch files go to ONE deterministic dir per (format, sf) — writers use
+mode=overwrite so reruns reuse the location — and the root is removed at
+interpreter exit; within a session the dir stays in place so the
+returned (lazy) DataFrame stays re-evaluable.
 At scale these writers/readers are the same code path — Spark's
 CSV/JSON/ORC/text/binaryFile sources are splittable (JSON Lines, not
 multiline) and predicate/partition pruning applies to ORC like parquet.
@@ -17,6 +19,8 @@ multiline) and predicate/partition pruning applies to ORC like parquet.
 
 from __future__ import annotations
 
+import os
+import re
 import tempfile
 from typing import Iterator
 
@@ -27,8 +31,28 @@ from pyspark.sql import types as T
 from .registry import q, t
 
 
+_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "sparkcrawl_scratch")
+_CLEANUP_ARMED = False
+
+
+def _sfslug(sf: str) -> str:
+    return re.sub(r"[^A-Za-z0-9_]", "_", sf)
+
+
 def _scratch(prefix: str) -> str:
-    return tempfile.mkdtemp(prefix=f"sparkcrawl_{prefix}_")
+    """Deterministic per-prefix scratch dir (writers use mode=overwrite,
+    so reruns reuse ONE location instead of minting a fresh mkdtemp per
+    invocation and accumulating orphaned lineitem/orders copies in /tmp).
+    The whole root is removed at interpreter exit."""
+    global _CLEANUP_ARMED
+    if not _CLEANUP_ARMED:
+        import atexit
+        import shutil
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+        _CLEANUP_ARMED = True
+    path = os.path.join(_SCRATCH_ROOT, prefix)
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 @q("source_csv_roundtrip", """
@@ -39,7 +63,7 @@ def source_csv_roundtrip(spark, sf):
     """nation → CSV (header) → read back with an explicit schema →
     aggregate.  Schema-on-read is explicit (never inferSchema in
     production: one extra full scan and type drift)."""
-    path = _scratch("csv")
+    path = _scratch(f"csv_{_sfslug(sf)}")
     t(spark, sf, "nation").write.mode("overwrite").option("header", True) \
         .csv(path)
     schema = T.StructType([
@@ -66,7 +90,7 @@ def source_json_roundtrip(spark, sf):
     on the year, so the documented sub-ms truncation can't bite.  JSON
     Lines (one object per line) keeps the source splittable at 100 TB;
     multiline JSON would not be."""
-    path = _scratch("json")
+    path = _scratch(f"json_{_sfslug(sf)}")
     orders = t(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     orders.write.mode("overwrite").json(path)
@@ -94,7 +118,7 @@ def source_orc_roundtrip(spark, sf):
     columnar production format Spark reads natively (vectorized reader,
     predicate pushdown, column pruning — same scan properties the
     parquet plans are pinned for)."""
-    path = _scratch("orc")
+    path = _scratch(f"orc_{_sfslug(sf)}")
     t(spark, sf, "lineitem").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (back.groupBy("l_returnflag", "l_linestatus")
@@ -105,8 +129,8 @@ def source_orc_roundtrip(spark, sf):
 
 @q("source_text_lines", """
 SELECT COUNT(*) AS n_lines,
-       SUM(len(string_split(text, ' '))) AS n_words,
-       SUM(LENGTH(text)) AS n_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
 FROM documents
 """)
 def source_text_lines(spark, sf):
@@ -114,7 +138,7 @@ def source_text_lines(spark, sf):
     text source → corpus totals.  The text source is the raw-corpus
     workhorse (one string column per line, splittable); totals prove
     every line and every byte survived."""
-    path = _scratch("text")
+    path = _scratch(f"text_{_sfslug(sf)}")
     t(spark, sf, "documents").select(
         F.coalesce("text", F.lit("")).alias("value")) \
         .write.mode("overwrite").text(path)
@@ -184,7 +208,7 @@ def source_warcish_reader(spark, sf):
     At 100 TB: real WARC is gzip-per-record over the same layout; the
     per-file parse is embarrassingly parallel (binaryFile gives one row
     per archive file, Arrow-batched)."""
-    path = _scratch("warc")
+    path = _scratch(f"warc_{_sfslug(sf)}")
     d = t(spark, sf, "documents")
     uri = F.concat(F.lit("http://docs"), F.col("doc_id") % 10,
                    F.lit(".example/d/"), F.col("doc_id"))
@@ -220,10 +244,13 @@ def _bucketed_table(spark, sf: str, name: str, key: str) -> str:
     cached = _BUCKET_TABLES.get((sf, name))
     if cached:
         return cached
-    tbl = f"sc_bkt_{name}_{abs(hash((sf, name))) % 10**8}"
+    # deterministic name: reruns in any process overwrite ONE catalog
+    # entry + ONE data dir instead of salting a new copy per process
+    sfslug = _sfslug(sf)
+    tbl = f"sc_bkt_{name}_{sfslug}"
     (t(spark, sf, name).write.mode("overwrite")
      .bucketBy(_BUCKETS, key).sortBy(key)
-     .option("path", _scratch(f"bkt_{name}"))
+     .option("path", _scratch(f"bkt_{name}_{sfslug}"))
      .saveAsTable(tbl))
     _BUCKET_TABLES[(sf, name)] = tbl
     return tbl

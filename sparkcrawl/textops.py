@@ -1066,26 +1066,37 @@ def text_tfidf_topk(spark, sf):
 @q("index_inverted", f"""
 WITH occ AS (SELECT doc_id, w, COUNT(*) AS c
              FROM ({_WORDS_SQL}) GROUP BY doc_id, w)
-SELECT w, COUNT(*) AS df, SUM(c) AS n_total,
+SELECT w, COUNT(*) AS df, CAST(SUM(c) AS BIGINT) AS n_total,
        array_to_string(list_sort(list(doc_id))[1:5], ',') AS postings_head
 FROM occ GROUP BY w
 """)
 def index_inverted(spark, sf):
     """Inverted index over the corpus: per token, document frequency,
-    total occurrences, and the first 5 posting doc_ids.  One explode +
-    two groupBys (both map-side-combinable).  The postings sample uses
-    collect_list within the token group — bounded here; at 100 TB a
-    stopword's posting list is the skew risk, so cap with a two-phase
-    per-partition top-k (as text_ngram_topk does) or store postings
-    bucketed by doc_id range instead of inline."""
+    total occurrences, and the first 5 posting doc_ids.  df/n_total are
+    map-side-combinable aggs; the posting sample is CAPPED two-phase
+    (the text_ngram_topk pattern): keep the 5 smallest doc_ids within a
+    64-way doc_id hash bucket first (each global-smallest-5 id is
+    necessarily in its bucket's smallest-5, so the result is identical
+    to the naive global collect), then merge ≤64×5 survivors per token —
+    no task ever materializes a stopword's full posting list.  Both the
+    stats agg and the survivors agg hash-partition on the token, so the
+    final join adds no exchange.  The oracle SUM is cast to BIGINT:
+    DuckDB promotes SUM(BIGINT) to HUGEINT, which its pandas bridge
+    renders as float64 and the driver would hash as `N.0`."""
     w = _words(t(spark, sf, "documents"))
     occ = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    return (occ.groupBy("w")
-            .agg(F.count("*").alias("df"),
-                 F.sum("c").alias("n_total"),
-                 F.concat_ws(",", F.transform(
-                     F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
-                     lambda x: x.cast("string"))).alias("postings_head")))
+    stats = occ.groupBy("w").agg(F.count("*").alias("df"),
+                                 F.sum("c").alias("n_total"))
+    win = Window.partitionBy("w", "_b").orderBy("doc_id")
+    survivors = (occ.select("w", "doc_id")
+                 .withColumn("_b", F.pmod(F.xxhash64("doc_id"), F.lit(64)))
+                 .withColumn("_rn", F.row_number().over(win))
+                 .filter(F.col("_rn") <= 5).drop("_b", "_rn"))
+    heads = (survivors.groupBy("w")
+             .agg(F.concat_ws(",", F.transform(
+                 F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                 lambda x: x.cast("string"))).alias("postings_head")))
+    return stats.join(heads, "w")
 
 
 # =========================================================================
@@ -1361,7 +1372,8 @@ WITH ev AS (
   SELECT DISTINCT g FROM ({_TRIGRAMS_SQL}) WHERE doc_id % 50 = 0),
 st AS (
   SELECT t.doc_id, COUNT(*) AS n_grams,
-         SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit
   FROM ({_TRIGRAMS_SQL}) t LEFT JOIN ev ON ev.g = t.g
   WHERE t.doc_id % 50 <> 0
   GROUP BY t.doc_id)

@@ -30,7 +30,15 @@ def _norm_cell(v):
     if isinstance(v, float) and math.isnan(v):
         return "∅"
     if isinstance(v, (np.floating, float)):
-        return f"{float(v):.12g}"
+        # Driver-faithful: a float renders with a trailing ".0" even when
+        # integral, so a DuckDB HUGEINT column (rendered float64 by its
+        # pandas bridge) MISMATCHES a Spark BIGINT — exactly like the
+        # driver's hash (the r3 red rows slipped through when %.12g
+        # collapsed 59837.0 and 59837).
+        s = f"{float(v):.12g}"
+        if s.lstrip("-").isdigit():
+            s += ".0"
+        return s
     if isinstance(v, (np.integer, int, np.bool_, bool)):
         return str(int(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date,

@@ -26,6 +26,22 @@ def test_inventory_size():
     assert len(ROWS_ONLY) <= 6, f"too many unverified queries: {ROWS_ONLY}"
 
 
+def test_oracle_types_no_hugeint(con):
+    """DuckDB promotes SUM over BIGINT to HUGEINT, which its pandas
+    bridge renders as float64 — the driver then hashes `N.0` against
+    Spark's `N` (the only red CORRECTNESS rows ever produced, r3).
+    Lint every oracle's BOUND output schema (DESCRIBE binds without
+    executing) so the next such type promotion fails here first."""
+    bad = {}
+    for name in ORACLED:
+        types = [row[1] for row in
+                 con.execute(f"DESCRIBE {O[name]}").fetchall()]
+        hug = [ty for ty in types if "HUGEINT" in ty.upper()]
+        if hug:
+            bad[name] = hug
+    assert not bad, f"oracles with HUGEINT output columns: {bad}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -177,6 +193,7 @@ def test_merge_upsert_actions_partition(spark):
         actions.setdefault(r["action"], set()).add(r["k"])
     n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
     assert set(actions) <= {"update", "keep", "insert"}
-    assert len(actions.get("update", ()) | set(actions.get("keep", ()))) == n_cust
+    assert len(set(actions.get("update", ()))
+               | set(actions.get("keep", ()))) == n_cust
     assert actions.get("insert"), "no insert branch exercised"
     assert all(k >= 1000000 for k in actions["insert"])
