@@ -51,30 +51,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
 _PRIORITY = [
-    # -- NEW in round 3 (no driver evidence yet): graph ops, repetition
-    #    gates, tf-idf, inverted index, IVF ANN --
-    "dedup_cluster_cc", "graph_pagerank",
-    "text_repetition_filter", "text_tfidf_topk",
-    "index_inverted", "ann_ivf_topk",
+    # -- the 3 red r03 rows (DuckDB HUGEINT oracle-type artifact, now
+    #    cast to BIGINT): re-prove green FIRST --
+    "index_inverted", "source_text_lines", "eval_decontaminate",
+    # -- NEW in round 4 (no driver evidence yet) --
+    "embed_kmeans_train", "ann_ivf_indexed",
+    # -- code changed in round 4 (broadcast centroid model, key-branch
+    #    merge, deterministic scratch dirs): refresh their evidence --
+    "ann_ivf_topk", "embed_kmeans_iter", "merge_upsert",
     "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_text_lines", "source_warcish_reader",
+    "source_orc_roundtrip", "source_warcish_reader",
     "join_bucketed_colocated",
-    "merge_upsert", "text_chunk_split", "crawl_sitemaps",
-    "text_model_score", "embed_centroids", "multimodal_frame_sample",
-    "eval_decontaminate", "dedup_semantic_clusters", "embed_kmeans_iter",
-    "text_unigram_ppl", "crawl_host_rollup",
-    # -- code changed in round 3 (cap/two-phase/bits/hash/positional):
-    #    their driver evidence must be refreshed first --
-    "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_lines_boilerplate",
-    "text_ngram_topk", "husker_scrape_fields",
-    # -- r01-only evidence (rotated outside r02's first 50): refresh --
-    "window_range_frame", "sort_limit_topn", "set_union_intersect_except",
-    "distinct_rows", "string_funcs", "regexp_ops", "parse_url_host",
-    "hash_md5", "hash_xxhash64", "date_trunc_agg", "datediff_extract",
-    "tumbling_window", "sliding_window", "session_window", "math_funcs",
-    "json_extract", "array_ops", "explode_words", "pivot_segments",
-    "percentile_prices", "icebergish_time_travel",
+    # -- newest evidence is r02 (aging out of the 2-round window) --
+    "crawl_extract_text", "crawl_link_graph", "crawl_canonicalize",
+    "crawl_topk_per_host", "crawl_robots_filter", "crawl_seen_bloom_probe",
+    "husker_value_ops", "husker_json_fields",
+    "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
+    "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "text_token_counts", "text_quality_score", "text_lang_id",
+    "text_pii_scrub", "text_quality_filter_chain", "sample_stratified",
+    "text_fingerprint_winnow",
+    "multimodal_decode_meta", "multimodal_features",
+    "scan_filter_project", "nullsafe_eq",
+    "agg_pricing_summary", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_rollup", "agg_cube",
+    "agg_grouping_sets",
+    "join_inner", "join_left_outer", "join_full_outer", "join_semi",
+    "join_anti", "join_broadcast_dim", "join_asof",
+    # (7 r02-aged queries fall past slot 50 this round — pure-relational
+    #  window/cross/theta ops with dedicated local oracle tests:
+    #  join_range_theta, join_cross, scalar_subquery, window_rank_topk,
+    #  window_rank_dense, window_lag_lead, window_running_sum)
+    "join_range_theta", "join_cross", "scalar_subquery",
+    "window_rank_topk", "window_rank_dense", "window_lag_lead",
+    "window_running_sum",
 ]
 
 

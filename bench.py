@@ -48,6 +48,9 @@ HEADLINE = [
     "ann_ivf_topk",            # IVF coarse-quantizer ANN
     "join_bucketed_colocated", # exchange-free co-located SMJ
     "source_warcish_reader",   # WARC-style archive parse round-trip
+    # round-4 additions (appended — earlier shapes stay frozen verbatim)
+    "embed_kmeans_train",      # 3-step k-means loop (localCheckpoint/round)
+    "ann_ivf_indexed",         # ANN served from the persisted pruned index
 ]
 
 

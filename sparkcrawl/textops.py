@@ -1107,6 +1107,44 @@ IVF_N_CELLS = 16   # coarse centroids = embeddings with vec_id < 16 (frozen)
 IVF_N_PROBE = 2    # cells probed per query
 
 
+def _ivf_centroids(e, n_cells: int = IVF_N_CELLS):
+    """Coarse-quantizer centroids as a DataFrame (cid, ce) — the k-means
+    model artifact.  Frozen here to the first ``n_cells`` corpus vectors
+    so the oracle can re-derive them; embed_kmeans_train produces the
+    same shape."""
+    return (e.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")))
+
+
+def _centroid_row(cents):
+    """ALL centroids gathered into ONE broadcast row holding an
+    array<struct<cid, ce>> — the model rides the broadcast as DATA, so
+    cell assignment stays a narrow in-row argmax at ANY centroid count
+    (the r3 version inlined 16×64 doubles as codegen literals: correct
+    at the frozen cell count, but 65k cells would mean ~4M-literal
+    expressions).  Sorted for a deterministic array layout."""
+    return F.broadcast(cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("_cents")))
+
+
+def _cell_structs(vec):
+    """(cs, -cid) structs per centroid: array_max picks the max rounded
+    cosine, then max(-cid) = lowest cid — the frozen tie-break rule."""
+    return F.transform(F.col("_cents"), lambda c: F.struct(
+        F.round(_cos_col(vec, c["ce"]), 6).alias("cs"),
+        (-c["cid"]).cast("int").alias("ncid")))
+
+
+def _assign_cells(e, cents):
+    """Nearest-centroid assignment of every vector against an arbitrary
+    centroid table — shuffle-free: the centroid array broadcasts, the
+    argmax is in-row."""
+    arr = _cell_structs(F.col("embedding"))
+    return (e.select("vec_id", "embedding").crossJoin(_centroid_row(cents))
+            .select("vec_id", "embedding",
+                    (-F.array_max(arr)["ncid"]).alias("cell")))
+
+
 def _cos_sql(a: str, b: str) -> str:
     return f"""ROUND(
       list_aggregate(list_transform(list_zip({a}, {b}),
@@ -1117,7 +1155,7 @@ def _cos_sql(a: str, b: str) -> str:
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)"""
 
 
-@q("ann_ivf_topk", f"""
+_IVF_SQL = f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS ce
                FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
 asg AS (
@@ -1140,8 +1178,12 @@ SELECT query_id, neighbor_id, cos, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rk
   FROM cand) WHERE rk <= 5
-""")
-def ann_ivf_topk(spark, sf):
+"""
+
+
+@q("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark, sf, n_cells: int = IVF_N_CELLS,
+                 n_probe: int = IVF_N_PROBE):
     """IVF (inverted-file) ANN: every vector is assigned to its nearest
     coarse centroid (argmax cosine over {IVF_N_CELLS} fixed centroids,
     tie-break lowest centroid id), queries probe their {IVF_N_PROBE}
@@ -1152,30 +1194,21 @@ def ann_ivf_topk(spark, sf):
     assignment is a narrow map (argmax over an in-row struct array —
     no shuffle, no window); only the probe-join and final top-k
     shuffle, both keyed on the cell / query id.  Assignment compares
-    ROUNDED cosines so the argmax is bit-portable across engines."""
+    ROUNDED cosines so the argmax is bit-portable across engines.
+    Centroids ride ONE broadcast row as an array<struct> (model-as-data,
+    any cell count — see _centroid_row), never codegen literals."""
     e = t(spark, sf, "embeddings")
-    cents = sorted(
-        (r["vec_id"], list(r["embedding"]))
-        for r in e.filter(F.col("vec_id") < IVF_N_CELLS)
-        .select("vec_id", "embedding").collect())
+    carr = _centroid_row(_ivf_centroids(e, n_cells))
 
-    def cell_structs(vec):
-        # struct(cs, -cid): array_max picks max cs, then max(-cid) = min cid
-        return F.array(*[
-            F.struct(
-                F.round(_cos_col(vec, F.array(*[F.lit(float(x)) for x in c])),
-                        6).alias("cs"),
-                F.lit(-cid).alias("ncid"))
-            for cid, c in cents])
-
-    arr = cell_structs(F.col("embedding"))
-    asg = e.select("vec_id", "embedding",
-                   (-F.array_max(arr)["ncid"]).alias("cell"))
-    top2 = F.slice(F.reverse(F.array_sort(arr)), 1, IVF_N_PROBE)
-    probe = (e.filter(F.col("vec_id") < 8)
+    arr = _cell_structs(F.col("embedding"))
+    asg = (e.crossJoin(carr)
+           .select("vec_id", "embedding",
+                   (-F.array_max(arr)["ncid"]).alias("cell")))
+    topp = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    probe = (e.filter(F.col("vec_id") < 8).crossJoin(carr)
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("qe"),
-                     F.explode(F.transform(top2, lambda s: -s["ncid"]))
+                     F.explode(F.transform(topp, lambda s: -s["ncid"]))
                      .alias("cell")))
     cand = (probe.join(asg, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -1426,30 +1459,19 @@ FROM (SELECT vec_id, cell, generate_subscripts(embedding, 1) AS dim,
       FROM asg)
 GROUP BY cell, dim
 """)
-def embed_kmeans_iter(spark, sf):
+def embed_kmeans_iter(spark, sf, n_cells: int = IVF_N_CELLS):
     """One full k-means iteration: assign every vector to its nearest
     seed centroid (the IVF coarse quantizer's frozen cells, same
     rounded-argmax rule as ann_ivf_topk), then recompute each cell's
     mean per dimension — the update step whose output feeds the next
-    assignment round.  Iterating this to convergence IS k-means; the
+    assignment round.  embed_kmeans_train loops exactly this step; the
     oracle verifies one exact step.  Scale shape: assignment is a
-    narrow in-row argmax (centroids broadcast as literals, no shuffle);
-    the update is one map-side-combinable avg keyed on (cell, dim), so
-    the shuffle carries cells × dims rows, never vectors."""
+    narrow in-row argmax (centroids broadcast as ONE array<struct> row,
+    any cell count — see _centroid_row; no shuffle); the update is one
+    map-side-combinable avg keyed on (cell, dim), so the shuffle
+    carries cells × dims rows, never vectors."""
     e = t(spark, sf, "embeddings")
-    cents = sorted(
-        (r["vec_id"], list(r["embedding"]))
-        for r in e.filter(F.col("vec_id") < IVF_N_CELLS)
-        .select("vec_id", "embedding").collect())
-    arr = F.array(*[
-        F.struct(
-            F.round(_cos_col(F.col("embedding"),
-                             F.array(*[F.lit(float(x)) for x in c])),
-                    6).alias("cs"),
-            F.lit(-cid).alias("ncid"))
-        for cid, c in cents])
-    asg = e.select("vec_id", "embedding",
-                   (-F.array_max(arr)["ncid"]).alias("cell"))
+    asg = _assign_cells(e, _ivf_centroids(e, n_cells))
     return (asg.select("vec_id", "cell",
                        F.posexplode("embedding").alias("d0", "v"))
             .select("vec_id", "cell", (F.col("d0") + 1).cast("int").alias("dim"),
@@ -1487,3 +1509,182 @@ def text_unigram_ppl(spark, sf):
               .select("doc_id", F.log(F.col("c") / F.col("n")).alias("lp")))
     return (scored.groupBy("doc_id")
             .agg(F.round(F.exp(-F.avg("lp")), 4).alias("ppl")))
+
+
+# =========================================================================
+# k-means to convergence + persisted IVF index (the model artifact path)
+# =========================================================================
+
+KMEANS_ITERS = 3   # frozen unroll depth for the oracle's chained CTEs
+
+
+def _kmeans_update(e, cents):
+    """One assign+update step → the next centroid table (cid, ce).
+    Centroid means are ROUNDED to 6 places as part of the frozen
+    semantics, so both engines see bit-identical centroids entering
+    every subsequent assignment.  The update shuffle carries
+    cells × dims rows (posexplode → map-side-combinable avg); the
+    per-cell re-assembly collect_list is bounded by the dim count."""
+    asg = _assign_cells(e, cents)
+    upd = (asg.select("cell", F.posexplode("embedding").alias("d0", "v"))
+           .groupBy("cell", "d0")
+           .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv")))
+    return (upd.groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("d0", "cv"))),
+                lambda s: s["cv"]).alias("ce"))
+            .select(F.col("cell").alias("cid"), "ce"))
+
+
+def _kmeans_train_sql(n_cells: int, n_iters: int) -> str:
+    """Oracle for embed_kmeans_train: the train loop unrolled as chained
+    CTEs at the frozen iteration count (the _pr_iter_sql pattern,
+    graphops).  Step i assigns against step i-1's ROUNDED centroids;
+    the final SELECT is step n's update — identical structure to the
+    embed_kmeans_iter oracle, iterated."""
+    parts = [f"c0 AS (SELECT vec_id AS cid, embedding AS ce\n"
+             f"       FROM embeddings WHERE vec_id < {n_cells})"]
+    for i in range(1, n_iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"""u{i} AS (
+  SELECT cell, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS cv,
+         COUNT(DISTINCT vec_id) AS cell_size
+  FROM (SELECT vec_id, cell, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v FROM a{i})
+  GROUP BY cell, dim)""")
+        if i < n_iters:
+            parts.append(f"c{i} AS (SELECT cell AS cid, "
+                         f"list(cv ORDER BY dim) AS ce FROM u{i} GROUP BY cell)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT cell, CAST(dim AS INT) AS dim, cv AS centroid, "
+            f"cell_size FROM u{n_iters}")
+
+
+@q("embed_kmeans_train", _kmeans_train_sql(IVF_N_CELLS, KMEANS_ITERS))
+def embed_kmeans_train(spark, sf, n_cells: int = IVF_N_CELLS,
+                       n_iters: int = KMEANS_ITERS, tol: float = 0.0,
+                       stats: dict | None = None):
+    """K-means run as a LOOP over the proven one-step update
+    (embed_kmeans_iter), with the convergence machinery a real curation
+    pipeline needs: per-round ``localCheckpoint`` truncates the plan
+    lineage (the dedup_cluster_cc pattern) and, when ``tol`` > 0, a
+    Σ|Δcentroid| movement witness — ONE scalar collect per round, never
+    vectors — stops the loop early at a fixed point.  The registered
+    query freezes n_iters={KMEANS_ITERS}, tol=0 (full unroll) so the
+    oracle can chain exactly that many steps; test_kmeans_train_converges
+    exercises the tol>0 early-stop path.  Scale shape per round: one
+    broadcast of cells×dims doubles out, one cells×dims shuffle back —
+    corpus vectors are read, never shuffled."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(e, n_cells)
+    movements = []
+    for _ in range(n_iters - 1):
+        new = _kmeans_update(e, cents).localCheckpoint(eager=True)
+        if tol > 0:
+            mv = (cents.select("cid", F.col("ce").alias("ce_old"))
+                  .join(new.select("cid", F.col("ce").alias("ce_new")), "cid")
+                  .select(F.aggregate(
+                      F.zip_with(F.col("ce_old"), F.col("ce_new"),
+                                 lambda a, b: F.abs(a.cast("double")
+                                                    - b.cast("double"))),
+                      F.lit(0.0), lambda acc, v: acc + v).alias("m"))
+                  .agg(F.sum("m").alias("mv")).first()["mv"]) or 0.0
+            movements.append(mv)
+            cents = new
+            if mv <= tol:
+                break
+        else:
+            cents = new
+    if stats is not None:
+        stats["movements"] = movements
+        stats["n_updates"] = len(movements) if tol > 0 else n_iters - 1
+    asg = _assign_cells(e, cents)
+    return (asg.select("vec_id", "cell",
+                       F.posexplode("embedding").alias("d0", "v"))
+            .select("vec_id", "cell",
+                    (F.col("d0") + 1).cast("int").alias("dim"),
+                    F.col("v").cast("double").alias("v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("centroid"),
+                 F.countDistinct("vec_id").alias("cell_size")))
+
+
+_IVF_INDEXES: dict = {}   # (sf, n_cells) -> IcebergishTable (session cache)
+
+
+def ivf_index_table(spark, sf, n_cells: int = IVF_N_CELLS):
+    """Build (once per session per sf) the PERSISTED IVF index: the
+    cell assignments written as a cell-partitioned Icebergish table —
+    at 100 TB the index is an ARTIFACT probes prune against, not a
+    per-query recomputation (the r3 ann_ivf_topk shape).  Partition
+    layout is ``cell=N/`` dirs, so a probe's cell list prunes the scan
+    to n_probe/n_cells of the data before any row is read."""
+    from .sources import _scratch, _sfslug
+    from .storage import IcebergishTable
+    key = (sf, n_cells)
+    if key in _IVF_INDEXES:
+        return _IVF_INDEXES[key]
+    e = t(spark, sf, "embeddings")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+    tbl = IcebergishTable(_scratch(f"ivf_idx_{_sfslug(sf)}_{n_cells}"),
+                          schema, partition_by="cell")
+    tbl.truncate()
+    tbl.replace(_assign_cells(e, _ivf_centroids(e, n_cells))
+                .select("vec_id", "embedding", F.col("cell").cast("int")
+                        .alias("cell")), 0)
+    _IVF_INDEXES[key] = tbl
+    return tbl
+
+
+def ivf_probe_scan(spark, sf, n_cells: int = IVF_N_CELLS,
+                   n_probe: int = IVF_N_PROBE):
+    """(probe, pruned-index-scan) pair — split out so the plan test can
+    assert the scan's PartitionFilters prune on the probed cells."""
+    e = t(spark, sf, "embeddings")
+    carr = _centroid_row(_ivf_centroids(e, n_cells))
+    arr = _cell_structs(F.col("embedding"))
+    topp = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    probe = (e.filter(F.col("vec_id") < 8).crossJoin(carr)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qe"),
+                     F.explode(F.transform(topp, lambda s: -s["ncid"]))
+                     .alias("cell")))
+    tbl = ivf_index_table(spark, sf, n_cells)
+    # bounded collect: the probe-cell list is ≤ queries × n_probe ints
+    # (the serving path's static partition prune — never row data)
+    cells = sorted({r["cell"] for r in probe.select("cell").distinct()
+                    .collect()})
+    idx = tbl.read(spark).filter(F.col("cell").isin(cells))
+    return probe, idx
+
+
+@q("ann_ivf_indexed", _IVF_SQL)
+def ann_ivf_indexed(spark, sf, n_cells: int = IVF_N_CELLS,
+                    n_probe: int = IVF_N_PROBE):
+    """ann_ivf_topk served from the PERSISTED index (same oracle — the
+    stored assignments are definitionally the recomputed ones): probes
+    join the cell-partitioned index table with a STATIC partition prune
+    on the probed cell list, so the scan touches ~n_probe/n_cells of
+    the index files (pinned by test_ivf_index_partition_prune).  The
+    centroid model broadcasts; the only row shuffle is the per-query
+    top-k window."""
+    probe, idx = ivf_probe_scan(spark, sf, n_cells, n_probe)
+    cand = (F.broadcast(probe).join(idx, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(_cos_col(F.col("qe"), F.col("embedding")), 6)
+                    .alias("cos")))
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                 "neighbor_id")
+    return (cand.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rk"))

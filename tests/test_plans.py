@@ -166,8 +166,40 @@ def test_tfidf_window_is_group_limited(spark):
 def test_ivf_assignment_is_narrow(spark):
     """IVF cell assignment is an in-row argmax: the corpus side must
     reach the probe join with no Exchange, and the tiny probe side must
-    broadcast."""
+    broadcast.  The centroid model is gathered into ONE broadcast row
+    (array<struct>), so its Exchange SinglePartition nodes carry
+    ≤ n_cells rows — the only exchange allowed to touch row data is the
+    final top-k window's query_id hash partitioning."""
     plan = plan_of(QUERIES["ann_ivf_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan
-    # exactly one exchange in the whole plan: the final top-k window
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1
+    data_exchanges = (plan.count("Exchange")
+                      - plan.count("BroadcastExchange")
+                      - plan.count("Exchange SinglePartition"))
+    assert data_exchanges <= 1
+    # the model gather must never be a literal array: codegen'd centroid
+    # constants die at real cell counts
+    assert "collect_list(struct(cid" in plan
+
+
+def test_ivf_index_partition_prune(spark):
+    """The persisted IVF index is a cell-partitioned table and the
+    probe's scan must PRUNE on the probed cells — PartitionFilters on
+    `cell`, not a post-scan filter over all partitions."""
+    from sparkcrawl.textops import ivf_probe_scan
+    probe, idx = ivf_probe_scan(spark, SF)
+    plan = plan_of(idx)
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+
+
+def test_kmeans_train_converges(spark):
+    """The tol>0 path must early-stop on the Σ|Δcentroid| witness well
+    before the iteration cap, with movement decaying to ≤ tol."""
+    from sparkcrawl.textops import embed_kmeans_train
+    stats = {}
+    df = embed_kmeans_train(spark, SF, n_iters=25, tol=0.05, stats=stats)
+    assert df.count() > 0
+    assert 0 < stats["n_updates"] < 24, stats
+    assert stats["movements"][-1] <= 0.05
+    # movement at the stop point is far below where it started
+    assert stats["movements"][-1] < stats["movements"][0] / 10
