@@ -55,7 +55,8 @@ _PRIORITY = [
     #    cast to BIGINT): re-prove green FIRST --
     "index_inverted", "source_text_lines", "eval_decontaminate",
     # -- NEW in round 4 (no driver evidence yet) --
-    "embed_kmeans_train", "ann_ivf_indexed",
+    "embed_kmeans_train", "ann_ivf_indexed", "ann_ivf_trained",
+    "text_dataset_mix",
     # -- code changed in round 4 (broadcast centroid model, key-branch
     #    merge, deterministic scratch dirs): refresh their evidence --
     "ann_ivf_topk", "embed_kmeans_iter", "merge_upsert",

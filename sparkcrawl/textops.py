@@ -1155,21 +1155,21 @@ def _cos_sql(a: str, b: str) -> str:
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)"""
 
 
-_IVF_SQL = f"""
-WITH cents AS (SELECT vec_id AS cid, embedding AS ce
-               FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
-asg AS (
+def _ivf_tail_sql(cents: str) -> str:
+    """The assign/probe/serve CTE chain against an arbitrary centroid
+    CTE — shared by the seed-centroid and trained-centroid IVF oracles."""
+    return f"""asg AS (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    FROM embeddings e CROSS JOIN {cents} c) WHERE rn = 1),
 probe AS (
   SELECT query_id, qe, cid AS cell FROM (
     SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8) WHERE rn <= {IVF_N_PROBE}),
+    FROM embeddings e CROSS JOIN {cents} c WHERE e.vec_id < 8) WHERE rn <= {IVF_N_PROBE}),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_cos_sql('p.qe', 'a.embedding')} AS cos
@@ -1177,7 +1177,13 @@ cand AS (
 SELECT query_id, neighbor_id, cos, rk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id) AS rk
-  FROM cand) WHERE rk <= 5
+  FROM cand) WHERE rk <= 5"""
+
+
+_IVF_SQL = f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
+{_ivf_tail_sql('cents')}
 """
 
 
@@ -1198,8 +1204,15 @@ def ann_ivf_topk(spark, sf, n_cells: int = IVF_N_CELLS,
     Centroids ride ONE broadcast row as an array<struct> (model-as-data,
     any cell count — see _centroid_row), never codegen literals."""
     e = t(spark, sf, "embeddings")
-    carr = _centroid_row(_ivf_centroids(e, n_cells))
+    return _ivf_serve(e, _ivf_centroids(e, n_cells), n_probe)
 
+
+def _ivf_serve(e, cents, n_probe: int = IVF_N_PROBE):
+    """Assign + probe + per-cell brute force + top-k against an
+    arbitrary centroid table — the serve stage shared by the
+    seed-centroid (ann_ivf_topk) and trained-centroid
+    (ann_ivf_trained) paths."""
+    carr = _centroid_row(cents)
     arr = _cell_structs(F.col("embedding"))
     asg = (e.crossJoin(carr)
            .select("vec_id", "embedding",
@@ -1536,12 +1549,12 @@ def _kmeans_update(e, cents):
             .select(F.col("cell").alias("cid"), "ce"))
 
 
-def _kmeans_train_sql(n_cells: int, n_iters: int) -> str:
-    """Oracle for embed_kmeans_train: the train loop unrolled as chained
-    CTEs at the frozen iteration count (the _pr_iter_sql pattern,
-    graphops).  Step i assigns against step i-1's ROUNDED centroids;
-    the final SELECT is step n's update — identical structure to the
-    embed_kmeans_iter oracle, iterated."""
+def _kmeans_chain_ctes(n_cells: int, n_iters: int) -> list:
+    """CTE chain c0 → (a1,u1,c1) → … → (aN,uN,cN): step i assigns
+    against step i-1's ROUNDED centroids, identical structure to the
+    embed_kmeans_iter oracle, iterated (the _pr_iter_sql pattern,
+    graphops).  Shared by the train oracle (reads uN) and the
+    trained-IVF oracle (serves against cN)."""
     parts = [f"c0 AS (SELECT vec_id AS cid, embedding AS ce\n"
              f"       FROM embeddings WHERE vec_id < {n_cells})"]
     for i in range(1, n_iters + 1):
@@ -1557,10 +1570,14 @@ def _kmeans_train_sql(n_cells: int, n_iters: int) -> str:
   FROM (SELECT vec_id, cell, generate_subscripts(embedding, 1) AS dim,
                unnest(embedding) AS v FROM a{i})
   GROUP BY cell, dim)""")
-        if i < n_iters:
-            parts.append(f"c{i} AS (SELECT cell AS cid, "
-                         f"list(cv ORDER BY dim) AS ce FROM u{i} GROUP BY cell)")
-    return ("WITH " + ",\n".join(parts) +
+        parts.append(f"c{i} AS (SELECT cell AS cid, "
+                     f"list(cv ORDER BY dim) AS ce FROM u{i} GROUP BY cell)")
+    return parts
+
+
+def _kmeans_train_sql(n_cells: int, n_iters: int) -> str:
+    """Oracle for embed_kmeans_train: the unrolled chain's final update."""
+    return ("WITH " + ",\n".join(_kmeans_chain_ctes(n_cells, n_iters)) +
             f"\nSELECT cell, CAST(dim AS INT) AS dim, cv AS centroid, "
             f"cell_size FROM u{n_iters}")
 
@@ -1612,6 +1629,84 @@ def embed_kmeans_train(spark, sf, n_cells: int = IVF_N_CELLS,
             .groupBy("cell", "dim")
             .agg(F.round(F.avg("v"), 6).alias("centroid"),
                  F.countDistinct("vec_id").alias("cell_size")))
+
+
+def kmeans_centroid_table(spark, sf, n_cells: int = IVF_N_CELLS,
+                          n_updates: int = KMEANS_ITERS):
+    """The trained centroid TABLE (cid, ce) after ``n_updates`` full
+    assign+update rounds — the model artifact embed_kmeans_train's
+    final stats describe, in the exact shape _ivf_serve consumes."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(e, n_cells)
+    for _ in range(n_updates):
+        cents = _kmeans_update(e, cents).localCheckpoint(eager=True)
+    return cents
+
+
+@q("ann_ivf_trained",
+   "WITH " + ",\n".join(_kmeans_chain_ctes(IVF_N_CELLS, KMEANS_ITERS)) +
+   ",\n" + _ivf_tail_sql(f"c{KMEANS_ITERS}"))
+def ann_ivf_trained(spark, sf, n_cells: int = IVF_N_CELLS,
+                    n_probe: int = IVF_N_PROBE,
+                    n_updates: int = KMEANS_ITERS):
+    """The full train→serve composition: k-means-trained centroids
+    (three assign+update rounds, kmeans_centroid_table) fed straight
+    into the IVF serve stage (_ivf_serve) — the production ANN path,
+    where the coarse quantizer is a FITTED model artifact rather than
+    ann_ivf_topk's frozen seed vectors.  The oracle chains the k-means
+    CTEs into the IVF probe CTEs, so both the training trajectory and
+    the serving results are value-verified end-to-end.  Scale shape:
+    training shuffles cells × dims per round; serving is the
+    broadcast-model assign + cell-keyed probe join — corpus vectors
+    never shuffle."""
+    e = t(spark, sf, "embeddings")
+    return _ivf_serve(e, kmeans_centroid_table(spark, sf, n_cells,
+                                               n_updates), n_probe)
+
+
+@q("text_dataset_mix", """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT MIN(n) AS m FROM counts),
+thr AS (SELECT c.lang, (tgt.m * 1000000) // c.n AS ppm
+        FROM counts c CROSS JOIN tgt),
+scored AS (
+  SELECT d.doc_id, d.lang, t.ppm,
+         CAST(CONCAT('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                                      || d.lang), 1, 8)) AS BIGINT)
+           % 1000000 AS slot
+  FROM documents d JOIN thr t ON t.lang = d.lang)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN slot < ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(ppm) AS mix_ppm
+FROM scored GROUP BY lang
+""")
+def text_dataset_mix(spark, sf):
+    """Dataset-mixture rebalancing (the pretraining data-mixing step):
+    downsample every language stratum toward the smallest one with
+    DETERMINISTIC hash-rate sampling — per-lang keep threshold
+    ppm = ⌊min_count·10⁶ / count⌋ (pure integer arithmetic, identical
+    cross-engine), keep a doc iff its md5(doc_id|lang) slot falls under
+    the threshold.  Reproducible across runs/engines (no RNG state),
+    and rates are DATA-DRIVEN (an agg), unlike sample_stratified's
+    fixed slots.  Scale shape: the per-lang rate table is tiny and
+    broadcasts, so the decision is one corpus scan, map-side; only the
+    final per-lang rollup shuffles (langs × partials).  Exact-count
+    quotas would need per-stratum ranking (a skewed global sort at
+    100 TB) — rate sampling is the scalable form, and the quota error
+    is O(√n) per stratum."""
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    thr = (counts.crossJoin(F.broadcast(counts.agg(F.min("n").alias("m"))))
+           .select("lang", F.expr("(m * 1000000) DIV n").alias("ppm")))
+    slot = F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "lang"),
+        "UTF-8")), 1, 8), 16, 10).cast("long") % 1000000
+    scored = d.join(F.broadcast(thr), "lang").withColumn("slot", slot)
+    return (scored.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("slot") < F.col("ppm"), 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.min("ppm").alias("mix_ppm")))
 
 
 _IVF_INDEXES: dict = {}   # (sf, n_cells) -> IcebergishTable (session cache)
