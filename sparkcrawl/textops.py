@@ -810,8 +810,7 @@ def text_ngram_topk(spark, sf):
             .filter(F.col("rk") <= 50).select("g", "n"))
 
 
-@q("text_fingerprint_winnow", f"""
-WITH grams AS (
+_WINNOW_CTES = f"""grams AS (
   SELECT doc_id, i, md5(w || ' ' || w1 || ' ' || w2 || ' ' || w3) AS gh
   FROM (
     SELECT doc_id, i, w,
@@ -824,7 +823,26 @@ wins AS (
          MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
-  FROM grams)
+  FROM grams)"""
+
+
+def _winnow_selected(d):
+    """Winnowing fingerprint selection: hash word 4-grams, keep the min
+    hash of each 5-gram sliding window (doc_id, i, fp, rn); rows with
+    rn >= 5 are the selected fingerprints.  Shared by the per-doc
+    fingerprint summary and the cross-doc duplicated-span detector."""
+    w4 = (_shingles(d, 4, with_pos=True)
+          .select("doc_id", "i",
+                  F.md5(F.encode("g", "UTF-8")).alias("gh")))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
+    rn = Window.partitionBy("doc_id").orderBy("i")
+    return (w4.withColumn("fp", F.min("gh").over(win))
+            .withColumn("rn", F.row_number().over(rn))
+            .filter(F.col("rn") >= 5))
+
+
+@q("text_fingerprint_winnow", f"""
+WITH {_WINNOW_CTES}
 SELECT doc_id, COUNT(DISTINCT fp) AS n_fps, MIN(fp) AS min_fp
 FROM wins WHERE rn >= 5 GROUP BY doc_id
 """)
@@ -833,17 +851,45 @@ def text_fingerprint_winnow(spark, sf):
     min hash of each sliding window of 5 — the selected fingerprints
     identify near-copies robustly.  Rolling hash = md5 here for oracle
     parity (xxhash64 at scale)."""
-    w4 = (_shingles(t(spark, sf, "documents"), 4, with_pos=True)
-          .select("doc_id", "i",
-                  F.md5(F.encode("g", "UTF-8")).alias("gh")))
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, 0)
-    rn = Window.partitionBy("doc_id").orderBy("i")
-    return (w4.withColumn("fp", F.min("gh").over(win))
-            .withColumn("rn", F.row_number().over(rn))
-            .filter(F.col("rn") >= 5)
+    return (_winnow_selected(t(spark, sf, "documents"))
             .groupBy("doc_id")
             .agg(F.countDistinct("fp").alias("n_fps"),
                  F.min("fp").alias("min_fp")))
+
+
+@q("dedup_span_winnow", f"""
+WITH {_WINNOW_CTES},
+sel AS (SELECT DISTINCT doc_id, fp FROM wins WHERE rn >= 5),
+dfreq AS (SELECT fp, COUNT(*) AS nd FROM sel GROUP BY fp)
+SELECT s.doc_id, COUNT(*) AS n_fps,
+       CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS shared_frac
+FROM sel s JOIN dfreq d USING (fp)
+GROUP BY s.doc_id
+""")
+def dedup_span_winnow(spark, sf):
+    """Cross-doc duplicated-SPAN detection (exact-substring dedup
+    evidence, the Lee-et-al. 'Deduplicating Training Data' signal at
+    winnowing granularity): a winnow-selected fingerprint appearing in
+    ≥2 distinct documents marks a verbatim ≥4-word span shared across
+    docs; each doc reports how much of its fingerprint set is shared.
+    Scale shape: distinct (doc, fp) pairs → fp-keyed doc-frequency agg
+    (map-side combinable) → fp-keyed join back → doc-keyed rollup; all
+    shuffles on the fingerprint/doc key, no pairwise doc×doc blowup,
+    posting lists never materialize.  The SUM is cast to BIGINT for the
+    DuckDB HUGEINT promotion rule."""
+    sel = (_winnow_selected(t(spark, sf, "documents"))
+           .select("doc_id", "fp").distinct())
+    dfreq = sel.groupBy("fp").agg(F.count("*").alias("nd"))
+    shared = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (sel.join(dfreq, "fp")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.sum(shared).alias("n_shared"),
+                 F.round(F.sum(shared) / F.count("*"), 6)
+                 .alias("shared_frac")))
 
 
 # =========================================================================

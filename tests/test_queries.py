@@ -184,6 +184,32 @@ def test_chunk_split_reconstructs_documents(spark):
         assert rebuilt == docs[d], f"doc {d} chunk reconstruction differs"
 
 
+def test_span_winnow_non_degenerate(spark):
+    """dedup_span_winnow must actually split the corpus: some docs share
+    verbatim spans (the corpus contains near-dups), some don't."""
+    rows = Q["dedup_span_winnow"](spark, SF).collect()
+    shared = sum(1 for r in rows if r["n_shared"] > 0)
+    assert 0 < shared < len(rows), f"{shared}/{len(rows)} shared"
+    for r in rows:
+        assert 0 <= r["n_shared"] <= r["n_fps"]
+
+
+def test_dataset_mix_targets_smallest_stratum(spark):
+    """Every stratum's kept count lands near the smallest stratum's
+    size (rate sampling: binomial noise around the ppm target), and the
+    smallest stratum keeps everything."""
+    rows = Q["text_dataset_mix"](spark, SF).collect()
+    m = min(r["n_docs"] for r in rows)
+    for r in rows:
+        if r["n_docs"] == m:
+            assert r["mix_ppm"] == 1000000 and r["n_kept"] == r["n_docs"]
+        assert r["n_kept"] <= r["n_docs"]
+        # 5-sigma binomial bound around the target
+        import math
+        sd = math.sqrt(max(r["n_docs"], 1)) / 2
+        assert abs(r["n_kept"] - m * 1.0) <= 5 * sd + 3, rows
+
+
 def test_merge_upsert_actions_partition(spark):
     """Every target row appears exactly once tagged update/keep; every
     shifted source key appears as insert; no other actions exist."""
