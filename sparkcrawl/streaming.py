@@ -112,6 +112,35 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     return query
 
 
+def stream_to_lake(events: DataFrame, table, checkpoint_dir: str,
+                   query_name: str = "sparkcrawl_stream_lake"):
+    """foreachBatch sink: land a stream in the Icebergish lake table
+    with one ATOMIC append commit per micro-batch, idempotent on the
+    batch id — a batch re-delivered after restart is skipped because
+    the table manifest already records a ≥ batch id (batch ids are
+    monotonic per checkpoint), giving exactly-once table contents over
+    the at-least-once foreachBatch contract.  This is the
+    streaming-ingest twin of the crawl round's frontier append: same
+    manifest commit protocol, same snapshot lineage/time travel over
+    the landed batches.  At scale the table's partition column keeps
+    per-batch files clustered (storage.py repartitions before
+    partitionBy — no tiny-file storm)."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        m = table.current_manifest()
+        done = -1 if m is None else m.get("round", -1)
+        if batch_id <= done:
+            return
+        table.append(batch_df, int(batch_id))
+
+    query = (events.writeStream.foreachBatch(sink)
+             .queryName(query_name)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return query
+
+
 def dedup_event_stream(events: DataFrame,
                        watermark: str = "24 hours") -> DataFrame:
     """Streaming exact dedup on event_id — the URL-seen-set analog on a
