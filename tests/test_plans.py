@@ -192,6 +192,24 @@ def test_ivf_index_partition_prune(spark):
     assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
 
 
+def test_dataset_mix_broadcasts_rates(spark):
+    """The per-lang rate table must broadcast (it is langs-sized), the
+    counts scan must prune to the lang column, and nothing may
+    sort-merge — the mix decision is one map-side corpus pass."""
+    plan = plan_of(QUERIES["text_dataset_mix"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "struct<lang:string>" in plan  # pruned counts scan
+
+
+def test_span_winnow_no_pair_blowup(spark):
+    """Duplicated-span detection joins fingerprint→doc-frequency, never
+    doc×doc: no cartesian/nested-loop join may appear."""
+    plan = plan_of(QUERIES["dedup_span_winnow"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
 def test_kmeans_train_converges(spark):
     """The tol>0 path must early-stop on the Σ|Δcentroid| witness well
     before the iteration cap, with movement decaying to ≤ tol."""
