@@ -51,6 +51,10 @@ HEADLINE = [
     # round-4 additions (appended — earlier shapes stay frozen verbatim)
     "embed_kmeans_train",      # 3-step k-means loop (localCheckpoint/round)
     "ann_ivf_indexed",         # ANN served from the persisted pruned index
+    "ann_ivf_trained",         # train→serve composition (fitted quantizer)
+    "text_dataset_mix",        # per-lang hash-rate mixture rebalancing
+    "dedup_span_winnow",       # cross-doc verbatim-span evidence
+    "crawl_recrawl_topk",      # stalest-first politeness re-fetch batch
 ]
 
 

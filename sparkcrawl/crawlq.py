@@ -405,6 +405,40 @@ def crawl_sitemaps(spark, sf):
                  F.min("loc").alias("first_loc")))
 
 
+@q("crawl_recrawl_topk", """
+WITH f AS (
+  SELECT doc_id, 'docs' || (doc_id % 10) || '.example' AS host,
+         DATE '2024-01-01' + CAST(doc_id * 37 % 180 AS INT) AS last_fetch
+  FROM documents)
+SELECT host, doc_id, last_fetch, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY last_fetch, doc_id) AS rk
+  FROM f) WHERE rk <= 20
+""")
+def crawl_recrawl_topk(spark, sf):
+    """Re-crawl scheduling: per host, the 20 STALEST known urls (oldest
+    last-fetch first, doc_id tie-break) form the next politeness-bounded
+    re-fetch batch — the freshness loop a production crawler runs
+    forever after the first pass, reusing A7/A8 semantics with age as
+    the priority signal.  last_fetch is frozen deterministic arithmetic
+    (date + doc_id·37 mod 180 days) so the oracle re-derives it; in the
+    engine it is fetchlog.ts from the previous crawl.  Scale shape:
+    per-host top-k = the select_topk_per_host pattern — here a plain
+    window (WindowGroupLimit prunes rank>20 map-side); a fan-in host at
+    100 TB gets the proven two-phase (host, salt) ranking."""
+    d = t(spark, sf, "documents")
+    f = d.select(
+        "doc_id",
+        F.concat(F.lit("docs"), F.col("doc_id") % 10,
+                 F.lit(".example")).alias("host"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("doc_id") * 37 % 180).cast("int"))
+        .alias("last_fetch"))
+    win = Window.partitionBy("host").orderBy("last_fetch", "doc_id")
+    return (f.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 20))
+
+
 @q("crawl_host_rollup", """
 SELECT 'docs' || (doc_id % 10) || '.example' AS host,
        COUNT(*) AS n_docs,
