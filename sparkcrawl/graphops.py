@@ -235,3 +235,88 @@ def dedup_semantic_clusters(spark, sf):
         F.count("*").over(w).alias("cluster_size"),
         F.when(F.col("doc_id") == F.col("cluster_id"), 1)
         .otherwise(0).alias("keep"))
+
+
+# ------------------------------------------------------------------ HITS
+
+HITS_ITERS = 2  # frozen: the oracle unrolls exactly this many rounds
+
+
+def _hits_auth_sql(prev_h: str) -> str:
+    return f"""
+  SELECT d.doc_id AS v, COALESCE(SUM(p.h), 0) AS a
+  FROM documents d
+  LEFT JOIN edges e ON e.dst = d.doc_id
+  LEFT JOIN {prev_h} p ON p.v = e.src
+  GROUP BY d.doc_id"""
+
+
+def _hits_hub_sql(prev_a: str) -> str:
+    return f"""
+  SELECT d.doc_id AS v, COALESCE(SUM(p.a), 0) AS h
+  FROM documents d
+  LEFT JOIN edges e ON e.src = d.doc_id
+  LEFT JOIN {prev_a} p ON p.v = e.dst
+  GROUP BY d.doc_id"""
+
+
+_HITS_SQL = f"""
+WITH edges AS (SELECT doc_id AS src, target AS dst FROM ({_PR_TARGETS_SQL})),
+h0 AS (SELECT doc_id AS v, 1.0 AS h FROM documents),
+a1 AS ({_hits_auth_sql('h0')}),
+h1 AS ({_hits_hub_sql('a1')}),
+a2 AS ({_hits_auth_sql('h1')}),
+h2 AS ({_hits_hub_sql('a2')})
+SELECT a2.v AS doc_id, ROUND(a2.a, 6) AS authority, ROUND(h2.h, 6) AS hub
+FROM a2 JOIN h2 ON h2.v = a2.v
+"""
+
+
+@q("graph_hits", _HITS_SQL)
+def graph_hits(spark, sf, iters: int = HITS_ITERS):
+    """HITS hubs/authorities over the husked link graph — the third
+    member of the graph family (CC = dedup decision, PageRank = global
+    authority, HITS = mutually-reinforcing hubs/authorities, the other
+    classic crawl-prioritization signal).  UNNORMALIZED with a frozen
+    {HITS_ITERS}-round unroll: per-round L1 normalization would divide
+    by a global float sum whose reduction order differs across engines;
+    without it every value is a small-fan-in sum of identical doubles,
+    so ROUND(…, 6) is bit-portable (the graph_pagerank argument, same
+    corpus arithmetic for the oracle's edges).  Scale shape per
+    half-round: one edge⋈score join keyed on the node id + one
+    map-side-combinable sum + a left join back to the node set;
+    localCheckpoint truncates lineage; edges husked ONCE and persisted."""
+    from .crawlq import _doc_pages, _husk_udf
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    pages = _doc_pages(spark, sf)
+    edges = (pages.withColumn("hk", _husk_udf("url", "html"))
+             .select(F.col("doc_id").alias("src"),
+                     F.explode("hk.links").alias("link"))
+             .select("src",
+                     F.regexp_extract("link", r"/d/(\d+)$", 1)
+                     .cast("long").alias("dst"))
+             .persist())
+    try:
+        hub = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("h"))
+        auth = None
+        for _ in range(iters):
+            inc = (edges.join(hub, edges["src"] == hub["v"])
+                   .groupBy("dst").agg(F.sum("h").alias("s")))
+            auth = (docs.join(inc, docs["doc_id"] == inc["dst"], "left")
+                    .select(F.col("doc_id").alias("v"),
+                            F.coalesce("s", F.lit(0.0)).alias("a"))
+                    .localCheckpoint(eager=True))
+            out = (edges.join(auth, edges["dst"] == auth["v"])
+                   .groupBy("src").agg(F.sum("a").alias("s")))
+            hub = (docs.join(out, docs["doc_id"] == out["src"], "left")
+                   .select(F.col("doc_id").alias("v"),
+                           F.coalesce("s", F.lit(0.0)).alias("h"))
+                   .localCheckpoint(eager=True))
+        hub2 = hub.select(F.col("v").alias("v2"), "h")
+        return (auth.join(hub2, auth["v"] == hub2["v2"])
+                .select(F.col("v").alias("doc_id"),
+                        F.round("a", 6).alias("authority"),
+                        F.round("h", 6).alias("hub")))
+    finally:
+        edges.unpersist()

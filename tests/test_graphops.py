@@ -86,3 +86,27 @@ def test_pagerank_matches_numpy(spark):
         assert abs(ranks[d] - pr[d]) < 6e-9, (d, ranks[d], pr[d])
     # mass conservation: no dangling nodes, so Σpr == 1
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_hits_matches_numpy(spark):
+    """2 unnormalized HITS rounds vs a dense numpy computation over the
+    same husked edge list (auth = in-sum of hubs, hub = out-sum of
+    auths)."""
+    from sparkcrawl.graphops import graph_hits
+
+    vals = {r.doc_id: (r.authority, r.hub)
+            for r in graph_hits(spark, SF).collect()}
+    n = len(vals)
+    edges = [(d, (d * 31 + 7 * (j + 1)) % n)  # (src, dst)
+             for d in range(n) for j in range(1 + d % 3)]
+    h = np.ones(n)
+    for _ in range(2):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += h[s]
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += a[t]
+    for d in range(n):
+        assert abs(vals[d][0] - a[d]) < 1e-5, (d, vals[d], a[d])
+        assert abs(vals[d][1] - h[d]) < 1e-5, (d, vals[d], h[d])
