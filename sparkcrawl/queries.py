@@ -786,3 +786,58 @@ def merge_upsert(spark, sf):
         F.when(F.col("tk").isNull(), "insert")
         .when(F.col("sk").isNull(), "keep")
         .otherwise("update").alias("action"))
+
+
+@q("events_funnel", """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       CAST(date_diff('second', v.t_view, p.t_purchase) AS BIGINT)
+         AS secs_to_convert
+FROM u LEFT JOIN v ON v.user_id = u.user_id
+       LEFT JOIN c ON c.user_id = u.user_id
+       LEFT JOIN p ON p.user_id = u.user_id
+""")
+def events_funnel(spark, sf):
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the earliest view, the earliest click AT OR AFTER it, the earliest
+    purchase AT OR AFTER that — stage reached plus end-to-end latency.
+    The event-analytics sibling of the streaming session ops, written
+    as three conditional-min aggregations chained through inequality
+    joins (no window over the whole event stream).  Scale shape: every
+    agg is map-side-combinable keyed on user_id; the stage tables are
+    users-sized (≪ events) so the chain joins broadcast; the full
+    funnel costs three passes over the filtered event slices, each
+    pruned to one event_type at the scan."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(F.broadcast(v), "user_id")
+         .filter(F.col("ts") >= F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(F.broadcast(c), "user_id")
+         .filter(F.col("ts") >= F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    u = ev.select("user_id").distinct()
+    j = (u.join(v.withColumn("_v", F.lit(1)), "user_id", "left")
+         .join(c.withColumn("_c", F.lit(1)), "user_id", "left")
+         .join(p.withColumn("_p", F.lit(1)), "user_id", "left"))
+    return j.select(
+        "user_id",
+        F.when(F.col("_p").isNotNull(), 3)
+        .when(F.col("_c").isNotNull(), 2)
+        .when(F.col("_v").isNotNull(), 1).otherwise(0).alias("stage"),
+        (F.unix_timestamp("t_purchase")
+         - F.unix_timestamp("t_view")).alias("secs_to_convert"))

@@ -1755,6 +1755,47 @@ def text_dataset_mix(spark, sf):
                  F.min("ppm").alias("mix_ppm")))
 
 
+@q("embed_standardize", """
+WITH stats AS (
+  SELECT dim, AVG(CAST(v AS DOUBLE)) AS mu,
+         STDDEV_POP(CAST(v AS DOUBLE)) AS sd
+  FROM (SELECT generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v FROM embeddings)
+  GROUP BY dim),
+z AS (
+  SELECT e.vec_id, e.dim, (CAST(e.v AS DOUBLE) - s.mu) / s.sd AS z
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS v FROM embeddings) e
+  JOIN stats s ON s.dim = e.dim)
+SELECT vec_id, ROUND(SQRT(SUM(z * z)), 6) AS znorm
+FROM z GROUP BY vec_id
+""")
+def embed_standardize(spark, sf):
+    """Per-dimension standardization (feature whitening before
+    ANN/k-means): fit mu/sd per dim over the corpus, z-score every
+    vector, verify via the per-vector z-norm (one number that is wrong
+    if ANY dim's mu, sd, or application drifts).  The fitted stats ride
+    ONE broadcast row as two aligned arrays (the _centroid_row
+    model-as-data pattern), so the scoring pass is a zero-shuffle
+    in-row fold; only the dims-sized fit agg shuffles.  At 100 TB:
+    fit = one map-side-combinable pass; apply = free at scan time."""
+    e = t(spark, sf, "embeddings")
+    stats = (e.select(F.posexplode("embedding").alias("d0", "v"))
+             .groupBy("d0")
+             .agg(F.avg(F.col("v").cast("double")).alias("mu"),
+                  F.stddev_pop(F.col("v").cast("double")).alias("sd")))
+    model = F.broadcast(stats.agg(
+        F.array_sort(F.collect_list(F.struct("d0", "mu", "sd")))
+        .alias("_ms")))
+    zs = F.zip_with(
+        F.col("embedding"), F.col("_ms"),
+        lambda v, s: (v.cast("double") - s["mu"]) / s["sd"])
+    znorm = F.sqrt(F.aggregate(zs, F.lit(0.0),
+                               lambda acc, z: acc + z * z))
+    return (e.crossJoin(model)
+            .select("vec_id", F.round(znorm, 6).alias("znorm")))
+
+
 _IVF_INDEXES: dict = {}   # (sf, n_cells) -> IcebergishTable (session cache)
 
 
