@@ -55,6 +55,9 @@ HEADLINE = [
     "text_dataset_mix",        # per-lang hash-rate mixture rebalancing
     "dedup_span_winnow",       # cross-doc verbatim-span evidence
     "crawl_recrawl_topk",      # stalest-first politeness re-fetch batch
+    "graph_hits",              # 2-round hubs/authorities over husked links
+    "embed_standardize",       # per-dim whitening, broadcast-stats in-row
+    "events_funnel",           # view→click→purchase staged conversion
 ]
 
 
