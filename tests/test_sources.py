@@ -36,3 +36,24 @@ def test_warc_parser_multiple_blobs_batch():
     out = pd.concat(_parse_warcish(iter(frames)))
     assert sorted(zip(out["doc_id"], out["body"])) == [
         (1, "a"), (2, "bb"), (3, "ccc")]
+
+
+def test_scratch_dirs_deterministic(spark):
+    """Repeated invocations must reuse ONE scratch location per
+    (format, sf) — the mkdtemp-per-call behavior accumulated orphaned
+    table copies in /tmp across bench/correctness runs."""
+    import os
+
+    from sparkcrawl.sources import (_SCRATCH_ROOT, _scratch, _sfslug,
+                                    source_csv_roundtrip)
+
+    sf = "/root/testdata/sf0.001"
+    assert _scratch("pin_demo") == _scratch("pin_demo")
+    assert _scratch("pin_demo").startswith(_SCRATCH_ROOT)
+
+    source_csv_roundtrip(spark, sf).count()
+    before = set(os.listdir(_SCRATCH_ROOT))
+    source_csv_roundtrip(spark, sf).count()   # rerun: no new dirs
+    after = set(os.listdir(_SCRATCH_ROOT))
+    assert after == before
+    assert f"csv_{_sfslug(sf)}" in after
