@@ -320,3 +320,69 @@ def graph_hits(spark, sf, iters: int = HITS_ITERS):
                         F.round("h", 6).alias("hub")))
     finally:
         edges.unpersist()
+
+
+# ------------------------------------------------------- BFS seed distance
+
+BFS_SEEDS = 50     # seeds = doc_id < 50 (frozen for the oracle)
+BFS_HORIZON = 20   # frozen exploration horizon (both engines stop here)
+
+
+@q("graph_bfs_depth", f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, target AS dst FROM ({_PR_TARGETS_SQL})),
+reach(node, d) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id < {BFS_SEEDS}
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {BFS_HORIZON}),
+dist AS (SELECT node AS doc_id, MIN(d) AS depth FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(dist.depth, -1) AS depth
+FROM documents d LEFT JOIN dist ON dist.doc_id = d.doc_id
+""")
+def graph_bfs_depth(spark, sf, horizon: int = BFS_HORIZON):
+    """BFS seed distance over the husked link graph — the independent
+    verification of the crawl priority's seed_distance signal (A7:
+    10·depth + dist): min-hop distance from the seed set, −1 if
+    unreached within the frozen {BFS_HORIZON}-hop horizon.  Same
+    min-label propagation engine as connected components, propagating
+    depth+1 instead of labels, with the Σdepth scalar as the
+    convergence witness and localCheckpoint per round.  Scale shape per
+    round: one edges⋈depth join keyed on the node id + map-side-
+    combinable min + a left join back — co-partitioned across rounds."""
+    from .crawlq import _doc_pages, _husk_udf
+
+    docs = t(spark, sf, "documents").select("doc_id")
+    pages = _doc_pages(spark, sf)
+    edges = (pages.withColumn("hk", _husk_udf("url", "html"))
+             .select(F.col("doc_id").alias("src"),
+                     F.explode("hk.links").alias("link"))
+             .select("src",
+                     F.regexp_extract("link", r"/d/(\d+)$", 1)
+                     .cast("long").alias("dst"))
+             .persist())
+    big = horizon + 1  # stands in for "unreached" during propagation
+    try:
+        depth = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") < BFS_SEEDS, 0).otherwise(big)
+            .alias("d")).localCheckpoint(eager=True)
+        prev_sum = depth.agg(F.sum("d")).collect()[0][0]
+        for _ in range(horizon):
+            nbr = (edges.join(depth, edges["src"] == depth["doc_id"])
+                   .groupBy("dst").agg(F.min(F.col("d") + 1).alias("nd")))
+            depth = (depth.join(nbr, depth["doc_id"] == nbr["dst"], "left")
+                     .select(depth["doc_id"],
+                             F.least("d", F.coalesce("nd", F.col("d")))
+                             .alias("d")))
+            depth = depth.localCheckpoint(eager=True)
+            cur_sum = depth.agg(F.sum("d")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        return depth.select(
+            "doc_id",
+            F.when(F.col("d") >= big, -1).otherwise(F.col("d"))
+            .alias("depth"))
+    finally:
+        edges.unpersist()
