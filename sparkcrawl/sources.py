@@ -286,3 +286,30 @@ def join_bucketed_colocated(spark, sf):
     return (j.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@q("source_hive_partitioned", """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+GROUP BY 1, 2
+""")
+def source_hive_partitioned(spark, sf):
+    """Hive-style partitioned layout (yr=N/ dirs): orders written
+    partitionBy(yr), read back with a year predicate that must prune at
+    the FILE INDEX — the scan only lists the two matching partition
+    dirs (pinned by test_hive_partition_prune).  This is the lake
+    layout every 100 TB fact table uses; repartition-by-partition-col
+    before the write keeps it to one file per partition per task wave
+    (the IcebergishTable._write_snapshot rule)."""
+    path = _scratch(f"hivepart_{_sfslug(sf)}")
+    o = t(spark, sf, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("int"))
+    (o.repartition(F.col("yr")).write.mode("overwrite")
+     .partitionBy("yr").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("yr").isin(1995, 1996))
+    return (back.groupBy("yr", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))

@@ -221,3 +221,11 @@ def test_kmeans_train_converges(spark):
     assert stats["movements"][-1] <= 0.05
     # movement at the stop point is far below where it started
     assert stats["movements"][-1] < stats["movements"][0] / 10
+
+
+def test_hive_partition_prune(spark):
+    """The year predicate on the hive-partitioned layout must land in
+    PartitionFilters (file-index pruning), not a post-scan Filter."""
+    plan = plan_of(QUERIES["source_hive_partitioned"](spark, SF))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "yr" in pf, pf
