@@ -58,7 +58,7 @@ _PRIORITY = [
     "embed_kmeans_train", "ann_ivf_indexed", "ann_ivf_trained",
     "text_dataset_mix", "dedup_span_winnow", "crawl_recrawl_topk",
     "graph_hits", "embed_standardize", "events_funnel",
-    "graph_bfs_depth", "source_hive_partitioned",
+    "graph_bfs_depth", "source_hive_partitioned", "agg_pandas_udaf",
     # -- code changed in round 4 (broadcast centroid model, key-branch
     #    merge, deterministic scratch dirs): refresh their evidence --
     "ann_ivf_topk", "embed_kmeans_iter", "merge_upsert",

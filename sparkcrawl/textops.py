@@ -1870,3 +1870,38 @@ def ann_ivf_indexed(spark, sf, n_cells: int = IVF_N_CELLS,
     return (cand.withColumn("rk", F.row_number().over(win))
             .filter(F.col("rk") <= 5)
             .select("query_id", "neighbor_id", "cos", "rk"))
+
+
+@q("agg_pandas_udaf", """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(EXP(AVG(LN(CAST(n_chars AS DOUBLE)))), 4) AS geo_mean_chars
+FROM documents WHERE n_chars > 0 GROUP BY lang
+""")
+def agg_pandas_udaf(spark, sf):
+    """Arrow grouped-aggregate UDF (the one pandas-UDF variant the rest
+    of the surface didn't exercise: scalar pandas_udf → crawlq/frontier,
+    mapInPandas → extract/model score, applyInPandas → blooms, cogroup
+    → seen probe, WithState → streaming).  Geometric mean per language,
+    verified against the closed form EXP(AVG(LN(x))).  100 TB note:
+    GROUPED_AGG ships every group value through Arrow with NO partial
+    aggregation — use it only for aggregates Catalyst can't express
+    natively; here the shipped column is one double per row, and the
+    closed-form rewrite (native AVG of LN) is what a hot path should
+    use.  The UDF mean sums in a different order than the SQL AVG;
+    4-dp rounding absorbs the ~1e-15 fold difference."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    d = t(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    # Spark forbids mixing GROUPED_AGG UDFs with native aggregates in
+    # one agg(); both branches hash-partition on lang so the join adds
+    # no exchange
+    gm = (d.groupBy("lang")
+          .agg(F.round(geo_mean(F.col("n_chars").cast("double")), 4)
+               .alias("geo_mean_chars")))
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return counts.join(gm, "lang").select("lang", "n_docs",
+                                          "geo_mean_chars")
