@@ -161,6 +161,40 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@5 {recall:.3f} below 0.5 bar"
 
 
+def test_ivf_trained_recall_and_assignment_quality(spark):
+    """The k-means-trained quantizer must (a) hold the same recall bar
+    as the seed quantizer and (b) actually FIT the data: the mean
+    cosine between each vector and its assigned centroid must be
+    strictly higher with trained centroids than with the seed vectors."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.registry import t as _t
+    from sparkcrawl.textops import (_assign_cells, _cos_col, _ivf_centroids,
+                                    kmeans_centroid_table)
+
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in Q["ann_bruteforce_topk"](spark, SF).collect()}
+    tr = {(r["query_id"], r["neighbor_id"])
+          for r in Q["ann_ivf_trained"](spark, SF).collect()}
+    assert tr, "trained IVF returned nothing"
+    recall = len(bf & tr) / len(bf)
+    assert recall >= 0.5, f"trained recall@5 {recall:.3f} below 0.5 bar"
+
+    e = _t(spark, SF, "embeddings")
+
+    def mean_assigned_cos(cents):
+        asg = _assign_cells(e, cents)
+        cdf = cents.select(F.col("cid").alias("cell"),
+                           F.col("ce").alias("_ce"))
+        return (asg.join(F.broadcast(cdf), "cell")
+                .agg(F.avg(_cos_col(F.col("embedding"), F.col("_ce"))))
+                .first()[0])
+
+    seed = mean_assigned_cos(_ivf_centroids(e))
+    trained = mean_assigned_cos(kmeans_centroid_table(spark, SF))
+    assert trained > seed, (trained, seed)
+
+
 def test_repetition_filter_splits_corpus(spark):
     """The frozen Gopher-style thresholds must actually split the
     corpus — a gate that keeps (or drops) everything tests nothing."""
