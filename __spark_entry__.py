@@ -59,6 +59,7 @@ _PRIORITY = [
     "text_dataset_mix", "dedup_span_winnow", "crawl_recrawl_topk",
     "graph_hits", "embed_standardize", "events_funnel",
     "graph_bfs_depth", "source_hive_partitioned", "agg_pandas_udaf",
+    "crawl_robots_audit",
     # -- code changed in round 4 (broadcast centroid model, key-branch
     #    merge, deterministic scratch dirs): refresh their evidence --
     "ann_ivf_topk", "embed_kmeans_iter", "merge_upsert",

@@ -189,6 +189,47 @@ def crawl_robots_filter(spark, sf):
                        _robots_udf(rules, F.col("url")).alias("allowed"))
 
 
+@q("crawl_robots_audit", """
+WITH f AS (SELECT doc_id,
+                  'docs' || (doc_id % 10) || '.example' AS host,
+                  ((doc_id % 10) % 2 = 0 AND doc_id % 5 = 0) AS denied
+           FROM documents)
+SELECT host, COUNT(*) AS n_urls,
+       CAST(SUM(CASE WHEN denied THEN 1 ELSE 0 END) AS BIGINT) AS n_denied,
+       ROUND(SUM(CASE WHEN denied THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS denied_frac
+FROM f GROUP BY host
+""")
+def crawl_robots_audit(spark, sf):
+    """Per-host robots COMPLIANCE AUDIT: how much of each host's known
+    url set its robots rules deny — the crawl-planning signal that
+    tells a scheduler which hosts yield little fetchable content (feeds
+    A8's budget allocation).  Every url flows through the REAL
+    vectorized robots evaluator (_robots_udf, the A6 production path);
+    the oracle states the frozen rule arithmetic.  Scale: one
+    Arrow-batched map pass + a host-keyed map-side-combinable rollup."""
+    d = t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("docs"), F.col("doc_id") % 10,
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("http://docs"), F.col("doc_id") % 10, F.lit(".example"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/"))
+            .otherwise(F.lit("/d/")),
+            F.col("doc_id")).alias("url"))
+    rules = F.when((F.col("doc_id") % 10) % 2 == 0,
+                   F.lit("User-agent: *\nDisallow: /private/\n")) \
+        .otherwise(F.lit("User-agent: *\nDisallow:\n"))
+    denied = (~_robots_udf(rules, F.col("url"))).cast("int")
+    return (urls.withColumn("_d", denied)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum("_d").alias("n_denied"),
+                 F.round(F.sum("_d") / F.count("*"), 6)
+                 .alias("denied_frac")))
+
+
 @q("crawl_seen_bloom_probe")  # bloom bit-math is engine-side → rows-only
 def crawl_seen_bloom_probe(spark, sf):
     """A4/A5: build per-bucket Bloom filters over the even doc urls
