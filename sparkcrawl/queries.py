@@ -815,19 +815,25 @@ def events_funnel(spark, sf):
     The event-analytics sibling of the streaming session ops, written
     as three conditional-min aggregations chained through inequality
     joins (no window over the whole event stream).  Scale shape: every
-    agg is map-side-combinable keyed on user_id; the stage tables are
-    users-sized (≪ events) so the chain joins broadcast; the full
-    funnel costs three passes over the filtered event slices, each
-    pruned to one event_type at the scan."""
+    agg is map-side-combinable keyed on user_id and every join is
+    user_id-keyed (stage tables scale with distinct users, so they are
+    never force-broadcast — AQE broadcasts them when actually small);
+    the full funnel costs three passes over the filtered event slices,
+    each pruned to one event_type at the scan."""
     ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    # no broadcast hints: the stage tables are per-user aggregates that
+    # GROW with the corpus (distinct users scale with events), so a forced
+    # broadcast is an OOM at 100×.  Every side is keyed on user_id — the
+    # shuffle hash join is right, and AQE still broadcasts when a side is
+    # genuinely small at runtime.
     c = (ev.filter(F.col("event_type") == "click")
-         .join(F.broadcast(v), "user_id")
+         .join(v, "user_id")
          .filter(F.col("ts") >= F.col("t_view"))
          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
     p = (ev.filter(F.col("event_type") == "purchase")
-         .join(F.broadcast(c), "user_id")
+         .join(c, "user_id")
          .filter(F.col("ts") >= F.col("t_click"))
          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
     u = ev.select("user_id").distinct()

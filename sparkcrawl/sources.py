@@ -8,10 +8,11 @@ directly on the parquet view.  A hash match therefore proves the values
 survived the format boundary bit-exactly (modulo the documented
 timestamp-precision caveats), not just that the reader ran.
 
-Scratch files go to ONE deterministic dir per (format, sf) — writers use
-mode=overwrite so reruns reuse the location — and the root is removed at
-interpreter exit; within a session the dir stays in place so the
-returned (lazy) DataFrame stays re-evaluable.
+Scratch files go to ONE dir per (format, sf) under a process-keyed root
+— writers use mode=overwrite so in-process reruns reuse the location —
+and the root is removed at interpreter exit; within a session the dir
+stays in place so the returned (lazy) DataFrame stays re-evaluable, and
+concurrent processes (bench alongside pytest) never share scratch.
 At scale these writers/readers are the same code path — Spark's
 CSV/JSON/ORC/text/binaryFile sources are splittable (JSON Lines, not
 multiline) and predicate/partition pruning applies to ORC like parquet.
@@ -31,7 +32,15 @@ from pyspark.sql import types as T
 from .registry import q, t
 
 
-_SCRATCH_ROOT = os.path.join(tempfile.gettempdir(), "sparkcrawl_scratch")
+# Keyed by uid+pid: deterministic WITHIN a process (reruns overwrite one
+# location instead of minting mkdtemp orphans), but isolated ACROSS
+# processes — a bench run next to a pytest run must not share live
+# scratch data or have the first exiter delete the other's files.  Each
+# process's atexit removes only its own root; a kill -9 can orphan one
+# root, bounded by one process's scratch.
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(),
+    f"sparkcrawl_scratch_{os.getuid()}_{os.getpid()}")
 _CLEANUP_ARMED = False
 
 

@@ -12,6 +12,10 @@ to the batch equivalents (asserted in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -112,27 +116,63 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     return query
 
 
+def _lake_hwm_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "_sparkcrawl_lake_hwm.json")
+
+
+def _lake_hwm_read(checkpoint_dir: str) -> int:
+    try:
+        with open(_lake_hwm_path(checkpoint_dir)) as f:
+            return int(json.load(f)["batch_id"])
+    except (FileNotFoundError, ValueError, KeyError):
+        return -1
+
+
+def _lake_hwm_write(checkpoint_dir: str, batch_id: int) -> None:
+    fd, tmp = tempfile.mkstemp(dir=checkpoint_dir, suffix=".hwm.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"batch_id": int(batch_id)}, f)
+    os.replace(tmp, _lake_hwm_path(checkpoint_dir))
+
+
+def make_lake_sink(table, checkpoint_dir: str):
+    """The foreachBatch callable for stream_to_lake, split out so the
+    at-least-once redelivery branch is directly exercisable in tests.
+
+    Idempotence is keyed on the stream's OWN high-water mark — a marker
+    file beside the checkpoint, committed atomically after each append —
+    NOT on the table's global manifest round.  Batch ids are monotonic
+    only per checkpoint: comparing against the table round would
+    silently drop early batches whenever a fresh checkpoint writes into
+    a table that already holds snapshots (or one shared with
+    round-numbered crawl appends).  The marker lives and dies with the
+    checkpoint, so its lifecycle matches the batch-id domain exactly."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= _lake_hwm_read(checkpoint_dir):
+            return  # redelivered batch (restart replay): already landed
+        table.append(batch_df, int(batch_id))
+        _lake_hwm_write(checkpoint_dir, int(batch_id))
+
+    return sink
+
+
 def stream_to_lake(events: DataFrame, table, checkpoint_dir: str,
                    query_name: str = "sparkcrawl_stream_lake"):
     """foreachBatch sink: land a stream in the Icebergish lake table
     with one ATOMIC append commit per micro-batch, idempotent on the
-    batch id — a batch re-delivered after restart is skipped because
-    the table manifest already records a ≥ batch id (batch ids are
-    monotonic per checkpoint), giving exactly-once table contents over
-    the at-least-once foreachBatch contract.  This is the
-    streaming-ingest twin of the crawl round's frontier append: same
-    manifest commit protocol, same snapshot lineage/time travel over
-    the landed batches.  At scale the table's partition column keeps
-    per-batch files clustered (storage.py repartitions before
-    partitionBy — no tiny-file storm)."""
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        m = table.current_manifest()
-        done = -1 if m is None else m.get("round", -1)
-        if batch_id <= done:
-            return
-        table.append(batch_df, int(batch_id))
-
-    query = (events.writeStream.foreachBatch(sink)
+    batch id via the checkpoint-scoped high-water marker (see
+    make_lake_sink) — a batch re-delivered after restart is skipped,
+    giving exactly-once table contents over the at-least-once
+    foreachBatch contract, while a FRESH checkpoint against a non-empty
+    table starts cleanly at batch 0 instead of silently dropping early
+    batches.  This is the streaming-ingest twin of the crawl round's
+    frontier append: same manifest commit protocol, same snapshot
+    lineage/time travel over the landed batches.  At scale the table's
+    partition column keeps per-batch files clustered (storage.py
+    repartitions before partitionBy — no tiny-file storm)."""
+    query = (events.writeStream.foreachBatch(make_lake_sink(table, checkpoint_dir))
              .queryName(query_name)
              .option("checkpointLocation", checkpoint_dir)
              .trigger(availableNow=True)

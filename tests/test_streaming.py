@@ -140,13 +140,41 @@ def test_stream_to_lake_atomic_idempotent(spark, tmp_path):
     assert tbl.current_snapshot_id() + 1 == n_snapshots
     assert tbl.read(spark).count() == n_src
 
-    # a re-delivered old batch id is ignored (manifest already >= it)
+    # a re-delivered old batch id is ignored: drive the SINK itself with
+    # batch 0's data again (the at-least-once replay after a restart) and
+    # assert no new snapshot lands
     first_batch = tbl.read_new(spark, 0)
-    before = tbl.current_snapshot_id()
-    m = tbl.current_manifest()
-    assert m["round"] >= 0
-    # simulate the at-least-once path: sink called again with batch 0
-    done = m.get("round", -1)
-    assert 0 <= done  # guard the idempotence predicate stream_to_lake uses
     assert first_batch.count() > 0
+    before = tbl.current_snapshot_id()
+    sink = streaming.make_lake_sink(tbl, ckpt)
+    sink(first_batch, 0)
     assert tbl.current_snapshot_id() == before
+    assert tbl.read(spark).count() == n_src
+    # ...but a batch id ABOVE the high-water mark does land
+    sink(first_batch.limit(1), streaming._lake_hwm_read(ckpt) + 1)
+    assert tbl.current_snapshot_id() == before + 1
+    assert tbl.read(spark).count() == n_src + 1
+
+
+def test_stream_to_lake_fresh_checkpoint_nonempty_table(spark, tmp_path):
+    """A FRESH checkpoint writing into a table that already has snapshots
+    must land its batches (batch ids restart at 0 per checkpoint; the old
+    manifest-round comparison silently dropped them)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.storage import IcebergishTable
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    tbl = IcebergishTable(str(tmp_path / "lake"), streaming.EVENTS_SCHEMA)
+    # pre-existing history: a round-numbered append (crawl-style writer)
+    tbl.append(events.limit(10), 7)
+    assert tbl.current_manifest()["round"] == 7
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil
+    shutil.copy(f"{SF}/events.parquet", flat / "part-0.parquet")
+    stream = streaming.read_event_stream(spark, str(flat))
+    streaming.stream_to_lake(stream, tbl, str(tmp_path / "fresh_ckpt"))
+    # batch 0 must NOT be dropped despite manifest round 7
+    assert tbl.read(spark).count() == events.count() + 10
