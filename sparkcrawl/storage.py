@@ -118,12 +118,51 @@ class IcebergishTable:
         })
         return sid
 
+    def overwrite_partitions(self, df: DataFrame, values: List,
+                             round_no: int) -> int:
+        """Iceberg-style dynamic partition overwrite: commit a snapshot
+        whose data dir holds ONLY the given partition ``values``' rows;
+        those values are dropped from every OLDER data dir as metadata
+        (the manifest records which values each dir overwrites and the
+        read path masks them with a partition filter — no old file is
+        rewritten).  This is the incremental-maintenance primitive: an
+        upsert batch touching k of N partitions costs one write of k
+        partitions, never a table rebuild.  ``df`` must contain only
+        rows whose partition column is in ``values`` (enforced)."""
+        if not self.partition_by:
+            raise ValueError("overwrite_partitions requires a partitioned table")
+        from pyspark.sql import functions as F
+        stray = df.filter(~F.col(self.partition_by).isin(values)).count()
+        if stray:
+            raise ValueError(
+                f"{stray} rows fall outside the declared overwrite "
+                f"partitions {values}")
+        parent = self.current_manifest()
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        data_dir = self._write_snapshot(df, sid)
+        dirs = (parent["data_dirs"] if parent else []) + [data_dir]
+        overwrites = dict(parent.get("overwrites", {})) if parent else {}
+        overwrites[data_dir] = sorted(values)
+        self._commit({
+            "snapshot_id": sid,
+            "parent": parent["snapshot_id"] if parent else None,
+            "round": round_no,
+            "mode": "overwrite_partitions",
+            "data_dirs": dirs,
+            "overwrites": overwrites,
+            "ts": time.time(),
+        })
+        return sid
+
     # -- reads ----------------------------------------------------------------
     def read(self, spark: SparkSession,
              snapshot_id: Optional[int] = None) -> DataFrame:
         """Scan the table as of a snapshot (default: current).  Partition
         dirs (``host_bucket=N``) are discovered per data dir, preserving
-        partition pruning on that column."""
+        partition pruning on that column.  Partition values overwritten
+        by a LATER snapshot are masked out of older dirs with a
+        partition-column filter (metadata-level delete: prunes those
+        dirs' partitions at planning, reads no masked row)."""
         manifest = (self.current_manifest() if snapshot_id is None
                     else self.manifest_for(snapshot_id))
         dirs: List[str] = [] if manifest is None else list(manifest["data_dirs"])
@@ -137,12 +176,19 @@ class IcebergishTable:
                 f"{missing} — snapshot was GC'd or the table is corrupt")
         if not dirs:
             return spark.createDataFrame([], self.schema)
-        parts = [
-            spark.read.option("basePath", d).schema(self._read_schema())
-            .parquet(d) if self.partition_by else
-            spark.read.schema(self.schema).parquet(d)
-            for d in dirs
-        ]
+        overwrites = {} if manifest is None else manifest.get("overwrites", {})
+        parts = []
+        for i, d in enumerate(dirs):
+            p = (spark.read.option("basePath", d).schema(self._read_schema())
+                 .parquet(d) if self.partition_by else
+                 spark.read.schema(self.schema).parquet(d))
+            # values overwritten by any LATER dir are dead in this one
+            masked = sorted({v for later in dirs[i + 1:]
+                             for v in overwrites.get(later, [])})
+            if masked:
+                from pyspark.sql import functions as F
+                p = p.filter(~F.col(self.partition_by).isin(masked))
+            parts.append(p)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)

@@ -1827,19 +1827,25 @@ def ivf_index_table(spark, sf, n_cells: int = IVF_N_CELLS):
     return tbl
 
 
+def _ivf_probes(e, n_cells: int = IVF_N_CELLS, n_probe: int = IVF_N_PROBE):
+    """(query_id, qe, cell): each query vector exploded to its n_probe
+    nearest coarse cells (broadcast centroid model, in-row top-p)."""
+    carr = _centroid_row(_ivf_centroids(e, n_cells))
+    arr = _cell_structs(F.col("embedding"))
+    topp = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+    return (e.filter(F.col("vec_id") < 8).crossJoin(carr)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                    F.explode(F.transform(topp, lambda s: -s["ncid"]))
+                    .alias("cell")))
+
+
 def ivf_probe_scan(spark, sf, n_cells: int = IVF_N_CELLS,
                    n_probe: int = IVF_N_PROBE):
     """(probe, pruned-index-scan) pair — split out so the plan test can
     assert the scan's PartitionFilters prune on the probed cells."""
     e = t(spark, sf, "embeddings")
-    carr = _centroid_row(_ivf_centroids(e, n_cells))
-    arr = _cell_structs(F.col("embedding"))
-    topp = F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
-    probe = (e.filter(F.col("vec_id") < 8).crossJoin(carr)
-             .select(F.col("vec_id").alias("query_id"),
-                     F.col("embedding").alias("qe"),
-                     F.explode(F.transform(topp, lambda s: -s["ncid"]))
-                     .alias("cell")))
+    probe = _ivf_probes(e, n_cells, n_probe)
     tbl = ivf_index_table(spark, sf, n_cells)
     # bounded collect: the probe-cell list is ≤ queries × n_probe ints
     # (the serving path's static partition prune — never row data)
@@ -1847,6 +1853,21 @@ def ivf_probe_scan(spark, sf, n_cells: int = IVF_N_CELLS,
                     .collect()})
     idx = tbl.read(spark).filter(F.col("cell").isin(cells))
     return probe, idx
+
+
+def _serve_from_index(probe, idx):
+    """Probe-join the (pruned) persisted index + per-query top-5 — the
+    serve tail shared by ann_ivf_indexed and ann_ivf_upsert."""
+    cand = (F.broadcast(probe).join(idx, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    F.round(_cos_col(F.col("qe"), F.col("embedding")), 6)
+                    .alias("cos")))
+    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                 "neighbor_id")
+    return (cand.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "cos", "rk"))
 
 
 @q("ann_ivf_indexed", _IVF_SQL)
@@ -1860,16 +1881,89 @@ def ann_ivf_indexed(spark, sf, n_cells: int = IVF_N_CELLS,
     centroid model broadcasts; the only row shuffle is the per-query
     top-k window."""
     probe, idx = ivf_probe_scan(spark, sf, n_cells, n_probe)
-    cand = (F.broadcast(probe).join(idx, "cell")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    F.round(_cos_col(F.col("qe"), F.col("embedding")), 6)
-                    .alias("cos")))
-    win = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                                 "neighbor_id")
-    return (cand.withColumn("rk", F.row_number().over(win))
-            .filter(F.col("rk") <= 5)
-            .select("query_id", "neighbor_id", "cos", "rk"))
+    return _serve_from_index(probe, idx)
+
+
+UPSERT_MOD = 10   # vec_id % UPSERT_MOD == 0 rows form the upsert batch
+
+
+def ivf_upsert_table(spark, sf, n_cells: int = IVF_N_CELLS,
+                     upsert_mod: int = UPSERT_MOD):
+    """Incremental IVF index maintenance: MERGE an upsert batch into the
+    persisted cell-partitioned index WITHOUT a rebuild.
+
+    Setup (deterministic, oracle-checkable): the base index holds every
+    vector, but the batch keys (vec_id % UPSERT_MOD == 0) carry a STALE
+    cell assignment (vec_id % n_cells — yesterday's index before those
+    vectors were re-embedded).  The upsert batch is their TRUE
+    assignment, so after the merge the table must equal the full fresh
+    assignment — which is exactly what the shared _IVF_SQL oracle
+    verifies through the serve path.
+
+    Merge protocol (the 100 TB shape — the WRITE cost scales with the
+    batch's partition footprint, never the table):
+      1. affected partitions = batch's new cells ∪ cells currently
+         holding a batch key (both are bounded collects of ≤ n_cells
+         ints — partition METADATA, never row data).  The old-cell
+         lookup is a column-pruned (vec_id, cell) semi-join scan; a
+         production deployment avoids even that via the CDC before-image
+         or a key→cell sidecar, but it never touches embedding bytes;
+      2. merged rows for those partitions = current rows minus batch
+         keys (left_anti on vec_id) + the batch;
+      3. one ``overwrite_partitions`` commit rewrites ONLY the affected
+         ``cell=N`` dirs; untouched partitions' files are not read or
+         rewritten, stale rows die by manifest metadata (storage.py).
+    Pinned by test_ivf_upsert_touches_only_affected_partitions."""
+    from .sources import _scratch, _sfslug
+    from .storage import IcebergishTable
+    e = t(spark, sf, "embeddings")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+    true_asg = (_assign_cells(e, _ivf_centroids(e, n_cells))
+                .select("vec_id", "embedding",
+                        F.col("cell").cast("int").alias("cell")))
+    is_batch = (F.col("vec_id") % upsert_mod) == 0
+    base = true_asg.withColumn(
+        "cell", F.when(is_batch, (F.col("vec_id") % n_cells).cast("int"))
+        .otherwise(F.col("cell")))
+    batch = true_asg.filter(is_batch)
+    tbl = IcebergishTable(
+        _scratch(f"ivf_upsert_{_sfslug(sf)}_{n_cells}_{upsert_mod}"),
+        schema, partition_by="cell")
+    tbl.truncate()
+    tbl.replace(base, 0)
+    new_cells = {r["cell"] for r in batch.select("cell").distinct().collect()}
+    old_cells = {r["cell"] for r in
+                 tbl.read(spark).join(batch.select("vec_id"), "vec_id",
+                                      "semi")
+                 .select("cell").distinct().collect()}
+    affected = sorted(new_cells | old_cells)
+    survivors = (tbl.read(spark).filter(F.col("cell").isin(affected))
+                 .join(batch.select("vec_id"), "vec_id", "left_anti"))
+    tbl.overwrite_partitions(survivors.unionByName(batch), affected, 1)
+    return tbl
+
+
+@q("ann_ivf_upsert", _IVF_SQL)
+def ann_ivf_upsert(spark, sf, n_cells: int = IVF_N_CELLS,
+                   n_probe: int = IVF_N_PROBE):
+    """ANN served from the INCREMENTALLY MAINTAINED index: a stale base
+    index is merged with an upsert batch at partition granularity
+    (ivf_upsert_table), then probed exactly like ann_ivf_indexed (same
+    static cell prune, same broadcast probe join).  The oracle is the
+    fresh-assignment _IVF_SQL — it passes only if the merge produced
+    precisely the up-to-date index (stale rows gone, batch rows in, all
+    other rows untouched)."""
+    tbl = ivf_upsert_table(spark, sf, n_cells)
+    e = t(spark, sf, "embeddings")
+    probe = _ivf_probes(e, n_cells, n_probe)
+    cells = sorted({r["cell"] for r in probe.select("cell").distinct()
+                    .collect()})
+    idx = tbl.read(spark).filter(F.col("cell").isin(cells))
+    return _serve_from_index(probe, idx)
 
 
 @q("agg_pandas_udaf", """

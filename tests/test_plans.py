@@ -192,6 +192,40 @@ def test_ivf_index_partition_prune(spark):
     assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
 
 
+def test_ivf_upsert_touches_only_affected_partitions(spark):
+    """Incremental index maintenance pin: the upsert commit's data dir
+    contains ONLY the affected cell partitions (never a rebuild), the
+    merged table equals the fresh assignment row-for-row (stale rows
+    dead, batch rows live, everything else untouched), and the serve
+    scan still prunes on the probed cells."""
+    import os
+
+    from sparkcrawl.textops import (IVF_N_CELLS, _assign_cells,
+                                    _ivf_centroids, ivf_upsert_table)
+    from sparkcrawl.registry import t as load
+
+    tbl = ivf_upsert_table(spark, SF, upsert_mod=100)
+    m = tbl.current_manifest()
+    assert m["mode"] == "overwrite_partitions"
+    last_dir = m["data_dirs"][-1]
+    affected = set(m["overwrites"][last_dir])
+    assert 0 < len(affected) < IVF_N_CELLS  # a real subset, not a rebuild
+    on_disk = {int(d.split("=")[1]) for d in os.listdir(last_dir)
+               if d.startswith("cell=")}
+    assert on_disk <= affected
+    # merged table ≡ fresh assignment
+    e = load(spark, SF, "embeddings")
+    fresh = {(r["vec_id"], r["cell"]) for r in
+             _assign_cells(e, _ivf_centroids(e)).collect()}
+    got = {(r["vec_id"], r["cell"]) for r in
+           tbl.read(spark).select("vec_id", "cell").collect()}
+    assert got == fresh
+    # serve-time prune still lands in PartitionFilters
+    plan = plan_of(tbl.read(spark).filter(F.col("cell").isin([1, 2])))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf, pf
+
+
 def test_dataset_mix_broadcasts_rates(spark):
     """The per-lang rate table must broadcast (it is langs-sized), the
     counts scan must prune to the lang column, and nothing may

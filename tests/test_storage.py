@@ -108,6 +108,55 @@ def test_read_expired_snapshot_raises(spark, table):
         table.read(spark, snapshot_id=old_sid)
 
 
+def test_overwrite_partitions_merges(spark, table):
+    """Dynamic partition overwrite: the new snapshot's rows win for the
+    named partition values; other partitions keep the old rows; the
+    commit writes ONLY the named partitions' dirs."""
+    table.append(_df(spark, 0, 40), 1)  # buckets 0..3, 10 rows each
+    repl = (spark.range(1000, 1006)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") % 2).cast("int").alias("host_bucket")))
+    sid = table.overwrite_partitions(repl, [0, 1], 2)
+    got = table.read(spark)
+    assert got.filter(F.col("host_bucket").isin([0, 1])).count() == 6
+    assert sorted(r["k"] for r in
+                  got.filter(F.col("host_bucket").isin([0, 1])).collect()) \
+        == list(range(1000, 1006))
+    # untouched partitions: original rows intact
+    assert got.filter(F.col("host_bucket").isin([2, 3])).count() == 20
+    # the overwrite snapshot's dir holds only the named partitions
+    snap = os.path.join(table.path, "data", f"snap-{sid:06d}")
+    bdirs = {d for d in os.listdir(snap) if d.startswith("host_bucket=")}
+    assert bdirs == {"host_bucket=0", "host_bucket=1"}
+
+
+def test_overwrite_partitions_time_travel_and_chain(spark, table):
+    """Masking is per-snapshot: time travel before the overwrite sees the
+    old rows; chained overwrites stack (later wins)."""
+    s0 = table.append(_df(spark, 0, 40), 1)
+    one = spark.createDataFrame([(500, 2)], SCHEMA)
+    table.overwrite_partitions(one, [2], 2)
+    two = spark.createDataFrame([(600, 2), (601, 3)], SCHEMA)
+    s2 = table.overwrite_partitions(two, [2, 3], 3)
+    assert table.read(spark, snapshot_id=s0).count() == 40
+    got = {r["k"] for r in table.read(spark)
+           .filter(F.col("host_bucket").isin([2, 3])).collect()}
+    assert got == {600, 601}
+    assert table.read(spark).count() == 22  # 20 in buckets 0/1 + 2 new
+    # compact folds the masking into one dir and preserves content
+    before = sorted(r["k"] for r in table.read(spark).collect())
+    table.compact(spark, 4)
+    assert sorted(r["k"] for r in table.read(spark).collect()) == before
+    assert s2 >= 0
+
+
+def test_overwrite_partitions_rejects_stray_rows(spark, table):
+    table.append(_df(spark, 0, 8), 1)
+    stray = spark.createDataFrame([(900, 0), (901, 3)], SCHEMA)
+    with pytest.raises(ValueError, match="outside the declared"):
+        table.overwrite_partitions(stray, [0], 2)
+
+
 def test_read_new_is_incremental(spark, table):
     """read_new(sid) scans only the files snapshot sid added — the
     round loop's read-back must not grow with table history."""
