@@ -1201,9 +1201,10 @@ def _cos_sql(a: str, b: str) -> str:
           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6)"""
 
 
-def _ivf_tail_sql(cents: str) -> str:
-    """The assign/probe/serve CTE chain against an arbitrary centroid
-    CTE — shared by the seed-centroid and trained-centroid IVF oracles."""
+def _ivf_asg_probe_ctes(cents: str) -> str:
+    """asg + probe CTEs (coarse assignment / query probing) against an
+    arbitrary centroid CTE — shared by the cosine-serve tail and the
+    PQ-ADC serve oracle."""
     return f"""asg AS (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -1215,7 +1216,13 @@ probe AS (
     SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
-    FROM embeddings e CROSS JOIN {cents} c WHERE e.vec_id < 8) WHERE rn <= {IVF_N_PROBE}),
+    FROM embeddings e CROSS JOIN {cents} c WHERE e.vec_id < 8) WHERE rn <= {IVF_N_PROBE})"""
+
+
+def _ivf_tail_sql(cents: str) -> str:
+    """The assign/probe/serve CTE chain against an arbitrary centroid
+    CTE — shared by the seed-centroid and trained-centroid IVF oracles."""
+    return f"""{_ivf_asg_probe_ctes(cents)},
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_cos_sql('p.qe', 'a.embedding')} AS cos
@@ -1999,3 +2006,224 @@ def agg_pandas_udaf(spark, sf):
     counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
     return counts.join(gm, "lang").select("lang", "n_docs",
                                           "geo_mean_chars")
+
+
+# =========================================================================
+# IVF-PQ: product-quantization codes + ADC serve (the 100 TB embedding-
+# memory story: the serving index stores M small ints per vector instead
+# of the full float vector)
+# =========================================================================
+
+PQ_M = 4    # subspaces
+PQ_D = 16   # dims per subspace (PQ_M · PQ_D = the 64-dim embedding)
+PQ_K = 8    # codebook entries per subspace
+
+
+def _l2_col(a, b):
+    """Rounded squared-L2 distance between two vectors — in-row fold,
+    6-dp rounding so argmin/ranking is bit-portable cross-engine."""
+    return F.round(F.aggregate(
+        F.zip_with(a, b, lambda x, y:
+                   (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v), 6)
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return f"""ROUND(list_aggregate(list_transform(list_zip({a}, {b}),
+      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+           * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum'), 6)"""
+
+
+def _pq_subvecs(e):
+    """(vec_id, sub, svec): every vector split into PQ_M contiguous
+    PQ_D-dim subvectors — in-row slice, zero shuffle."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.struct(
+            m.cast("int").alias("sub"),
+            F.slice(F.col("embedding"), m * PQ_D + 1, F.lit(PQ_D))
+            .alias("svec")))
+    return (e.select("vec_id", F.explode(subs).alias("s"))
+            .select("vec_id", "s.sub", "s.svec"))
+
+
+def _pq_cb_row(cb):
+    """ALL codebook entries of all subspaces on ONE broadcast row as
+    array<struct<sub, cid, ce>> (the _centroid_row model-as-data
+    pattern — M·K entries of PQ_D doubles, a few KB at any real size)."""
+    return F.broadcast(cb.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "ce")))
+        .alias("_cb")))
+
+
+def _pq_best(sv_col, sub_col):
+    """struct(d, cid) of the nearest codebook entry for one subvector:
+    array_min over the sub's entries — lexicographic struct order gives
+    argmin ROUNDED distance with lowest-cid tie-break (the frozen
+    rule, same as _cell_structs)."""
+    return F.array_min(F.transform(
+        F.filter(F.col("_cb"), lambda c: c["sub"] == sub_col),
+        lambda c: F.struct(_l2_col(sv_col, c["ce"]).alias("d"),
+                           c["cid"].cast("int").alias("cid"))))
+
+
+def pq_codebooks(spark, sf, n_updates: int = 1):
+    """Per-subspace PQ codebooks (sub, cid, ce): seeds are the first
+    PQ_K corpus vectors' subvectors (frozen, oracle-derivable), refined
+    by ``n_updates`` k-means steps — the _kmeans_update recipe applied
+    per embedding slice: rounded-argmin assignment, rounded means, so
+    both engines see bit-identical codebooks.  Scale shape per step:
+    assignment is in-row against the broadcast codebook; the update
+    shuffle carries M·K·PQ_D rows, never vectors."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    sv = _pq_subvecs(e)
+    cb = (sv.filter(F.col("vec_id") < PQ_K)
+          .select("sub", F.col("vec_id").cast("int").alias("cid"),
+                  F.col("svec").alias("ce")))
+    for _ in range(n_updates):
+        asg = (sv.crossJoin(_pq_cb_row(cb))
+               .select("sub", "svec",
+                       _pq_best(F.col("svec"), F.col("sub"))["cid"]
+                       .alias("code")))
+        upd = (asg.select("sub", "code",
+                          F.posexplode("svec").alias("d0", "v"))
+               .groupBy("sub", "code", "d0")
+               .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                    .alias("cv")))
+        cb = (upd.groupBy("sub", "code")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("d0", "cv"))),
+                  lambda s: s["cv"]).alias("ce"))
+              .select("sub", F.col("code").alias("cid"), "ce")
+              .localCheckpoint(eager=True))
+    return cb
+
+
+def _pq_chain_ctes() -> str:
+    """sv → cb0 → a1 → u1 → cb1 → codes: subvector split, seed
+    codebooks, one training update, final code assignment with
+    quantization error — shared by the codes oracle and the ADC-serve
+    oracle (the _kmeans_chain_ctes pattern per subspace)."""
+    return f"""sv AS (
+  SELECT vec_id, CAST(m AS INT) AS sub,
+         embedding[m * {PQ_D} + 1 : (m + 1) * {PQ_D}] AS svec
+  FROM embeddings CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) ms),
+cb0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, svec AS ce
+        FROM sv WHERE vec_id < {PQ_K}),
+a1 AS (
+  SELECT sub, svec, cid AS code FROM (
+    SELECT s.sub, s.svec, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_l2_sql('s.svec', 'c.ce')} ASC, c.cid) AS rn
+    FROM sv s JOIN cb0 c ON c.sub = s.sub) WHERE rn = 1),
+u1 AS (
+  SELECT sub, code, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS cv
+  FROM (SELECT sub, code, generate_subscripts(svec, 1) AS dim,
+               unnest(svec) AS v FROM a1)
+  GROUP BY sub, code, dim),
+cb1 AS (SELECT sub, code AS cid, list(cv ORDER BY dim) AS ce
+        FROM u1 GROUP BY sub, code),
+codes AS (
+  SELECT vec_id, sub, cid AS code, d AS qerr FROM (
+    SELECT s.vec_id, s.sub, c.cid, {_l2_sql('s.svec', 'c.ce')} AS d,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+             ORDER BY {_l2_sql('s.svec', 'c.ce')} ASC, c.cid) AS rn
+    FROM sv s JOIN cb1 c ON c.sub = s.sub) WHERE rn = 1)"""
+
+
+@q("embed_pq_codes",
+   "WITH " + _pq_chain_ctes() +
+   "\nSELECT vec_id, sub, code, qerr FROM codes")
+def embed_pq_codes(spark, sf):
+    """Product-quantization encoding: each vector's PQ_M subvectors are
+    mapped to their nearest trained codebook entry — the compressed
+    representation (M bytes/vector at K≤256) that an IVF-PQ deployment
+    stores INSTEAD of raw floats, shrinking a 100 TB embedding corpus
+    ~64× in the serving index.  Output is long-form (vec_id, sub, code,
+    qerr) with the per-subspace quantization error, so the oracle
+    verifies both the assignment and the trained codebook values.
+    Scale shape: encoding is one in-row pass against the broadcast
+    codebook; only the (tiny) codebook training shuffles."""
+    e = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    sv = _pq_subvecs(e)
+    best = _pq_best(F.col("svec"), F.col("sub"))
+    return (sv.crossJoin(_pq_cb_row(pq_codebooks(spark, sf)))
+            .select("vec_id", "sub", best["cid"].alias("code"),
+                    best["d"].alias("qerr")))
+
+
+_IVFPQ_SQL = (
+    "WITH " + _pq_chain_ctes() + ",\n"
+    + f"cents AS (SELECT vec_id AS cid, embedding AS ce\n"
+      f"          FROM embeddings WHERE vec_id < {IVF_N_CELLS}),\n"
+    + _ivf_asg_probe_ctes("cents") + f""",
+qsv AS (SELECT vec_id AS query_id, sub, svec FROM sv WHERE vec_id < 8),
+dtable AS (
+  SELECT q.query_id, c.sub, c.cid, {_l2_sql('q.svec', 'c.ce')} AS d
+  FROM qsv q JOIN cb1 c ON c.sub = q.sub),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id, ROUND(SUM(dt.d), 6) AS adc
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.neighbor_id
+  JOIN dtable dt ON dt.query_id = cd.query_id AND dt.sub = co.sub
+                AND dt.cid = co.code
+  GROUP BY cd.query_id, cd.neighbor_id)
+SELECT query_id, neighbor_id, adc, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc ASC, neighbor_id) AS rk
+  FROM adc) WHERE rk <= 5""")
+
+
+@q("ann_ivfpq_topk", _IVFPQ_SQL)
+def ann_ivfpq_topk(spark, sf, n_probe: int = IVF_N_PROBE):
+    """IVF-PQ ANN with asymmetric distance computation (ADC) — the real
+    100 TB embedding-serving shape: the index row is (vec_id, cell,
+    codes[PQ_M]) — the RAW VECTOR IS GONE from the serving path — and a
+    query scores candidates by summing per-subspace distances looked up
+    in its precomputed distance table.  Pipeline: coarse IVF cells
+    (frozen seed centroids, as ann_ivf_topk) partition the corpus;
+    trained PQ codebooks (pq_codebooks) encode each vector once; a
+    query probes its n_probe cells, builds its M×K distance table
+    in-row against the broadcast codebook, and ADC = Σ_m dtable[m][
+    code_m] via one zip_with fold — no embedding bytes move at serve
+    time, the probe side broadcasts, and the only row shuffle is the
+    per-query top-k window.  Distances are 6-dp rounded before ranking
+    (cross-engine argmin rule)."""
+    e = t(spark, sf, "embeddings")
+    cbrow = _pq_cb_row(pq_codebooks(spark, sf))
+    # the PQ index: coarse cell + code array per vector (built once;
+    # embeddings never reach the serve join)
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: _pq_best(
+            F.slice(F.col("embedding"), m * PQ_D + 1, F.lit(PQ_D)),
+            m.cast("int"))["cid"])
+    index = (_assign_cells(e, _ivf_centroids(e)).crossJoin(cbrow)
+             .select("vec_id", "cell", codes_arr.alias("codes")))
+    # query side: probed cells + per-subspace code→distance maps
+    dt = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.map_from_entries(F.transform(
+            F.filter(F.col("_cb"), lambda c: c["sub"] == m.cast("int")),
+            lambda c: F.struct(
+                c["cid"].cast("int").alias("k"),
+                _l2_col(F.slice(F.col("qe"), m * PQ_D + 1, F.lit(PQ_D)),
+                        c["ce"]).alias("v")))))
+    pq_probe = (_ivf_probes(e, IVF_N_CELLS, n_probe).crossJoin(cbrow)
+                .select("query_id", "cell", dt.alias("_dt")))
+    adc = F.round(F.aggregate(
+        F.zip_with("_dt", "codes", lambda mp, cd: F.element_at(mp, cd)),
+        F.lit(0.0), lambda acc, v: acc + v), 6)
+    cand = (F.broadcast(pq_probe).join(index, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    adc.alias("adc")))
+    win = Window.partitionBy("query_id").orderBy(F.col("adc").asc(),
+                                                 "neighbor_id")
+    return (cand.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id", "adc", "rk"))

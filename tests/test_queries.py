@@ -195,6 +195,65 @@ def test_ivf_trained_recall_and_assignment_quality(spark):
     assert trained > seed, (trained, seed)
 
 
+def test_pq_training_reduces_quantization_error(spark):
+    """One k-means update over each subspace must cut total quantization
+    error well below the seed codebooks (measured 611→421 on sf0.001 —
+    pin at ≤0.85×)."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.registry import t as _t
+    from sparkcrawl.textops import (_pq_best, _pq_cb_row, _pq_subvecs,
+                                    pq_codebooks)
+
+    e = _t(spark, SF, "embeddings").select("vec_id", "embedding")
+    sv = _pq_subvecs(e)
+
+    def total_qerr(n_updates):
+        cb = pq_codebooks(spark, SF, n_updates=n_updates)
+        return (sv.crossJoin(_pq_cb_row(cb))
+                .select(_pq_best(F.col("svec"), F.col("sub"))["d"]
+                        .alias("d"))
+                .agg(F.sum("d")).first()[0])
+
+    seed, trained = total_qerr(0), total_qerr(1)
+    assert trained <= 0.85 * seed, (trained, seed)
+
+
+def test_ivfpq_adc_returns_near_neighbors(spark):
+    """ADC over PQ codes must rank genuinely near candidates first: for
+    EVERY query, the mean exact L2 distance of the ADC top-5 is below
+    the mean over all probed candidates (random picks would sit at
+    1.0×; measured 0.81–0.95× on this corpus — synthetic unstructured
+    embeddings are PQ's worst case, so the pin is direction + margin on
+    the mean, not a recall bar)."""
+    import numpy as np
+
+    from sparkcrawl.registry import t as _t
+    from sparkcrawl.textops import (_assign_cells, _ivf_centroids,
+                                    _ivf_probes)
+
+    e = _t(spark, SF, "embeddings").select("vec_id", "embedding")
+    asg = {r["vec_id"]: r["cell"]
+           for r in _assign_cells(e, _ivf_centroids(e))
+           .select("vec_id", "cell").collect()}
+    probes = {}
+    for r in _ivf_probes(e).select("query_id", "cell").collect():
+        probes.setdefault(r["query_id"], set()).add(r["cell"])
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+           for r in e.collect()}
+    top = {}
+    for r in Q["ann_ivfpq_topk"](spark, SF).collect():
+        top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ratios = []
+    for q, cells in probes.items():
+        dists = {v: float(((emb[v] - emb[q]) ** 2).sum())
+                 for v, c in asg.items() if c in cells and v != q}
+        mean_all = np.mean(list(dists.values()))
+        ratios.append(np.mean([dists[v] for v in top[q]]) / mean_all)
+    assert all(r < 1.0 for r in ratios), ratios
+    assert np.mean(ratios) < 0.92, ratios
+
+
 def test_repetition_filter_splits_corpus(spark):
     """The frozen Gopher-style thresholds must actually split the
     corpus — a gate that keeps (or drops) everything tests nothing."""
