@@ -2227,3 +2227,106 @@ def ann_ivfpq_topk(spark, sf, n_probe: int = IVF_N_PROBE):
     return (cand.withColumn("rk", F.row_number().over(win))
             .filter(F.col("rk") <= 5)
             .select("query_id", "neighbor_id", "adc", "rk"))
+
+
+# =========================================================================
+# Subword tokenization: frozen-vocab greedy longest-match (BPE-serving
+# shape) — token budgeting in tokenizer-true units, not whitespace words
+# =========================================================================
+
+# Frozen subword vocabulary (multi-char pieces; every single char is an
+# implicit fallback piece).  A real deployment loads a trained 32k-100k
+# BPE/wordpiece vocab into the SAME broadcast-row model slot; the greedy
+# longest-match serve loop below is exactly wordpiece inference.
+BPE_VOCAB = (
+    "the an in er or at on st ar le re me ta sc ow am ch "
+    "ort ind ash oin tch ream able art mall rge "
+    "key sort scan join merge windo batch stream spark hash table "
+    "small part order fast dup row"
+).split()
+BPE_MAXW = 16   # ≥ the corpus's max word length (oracle position bound)
+
+
+def _bpe_vocab_row(spark):
+    """The tokenizer model on ONE broadcast row (array<string>, sorted) —
+    the _centroid_row pattern: never literal arrays (a real vocab is
+    10⁴–10⁵ pieces; codegen literals would blow up), never a driver
+    rebuild."""
+    vdf = spark.createDataFrame([(p,) for p in BPE_VOCAB], "p string")
+    return F.broadcast(vdf.agg(F.sort_array(F.collect_list("p"))
+                               .alias("_vocab")))
+
+
+def _bpe_word_ntok(w):
+    """Token count of one word under greedy longest-match against the
+    broadcast ``_vocab`` array: fold over character positions carrying
+    (pos, n) state; each step consumes the LONGEST matching piece
+    (fallback: one char).  Runs entirely in-row (nested higher-order
+    functions, codegen) — per word the fold does ≤ len(w) steps of a
+    |vocab|-wide match scan."""
+    def step(acc, _):
+        matches = F.filter(
+            F.col("_vocab"),
+            lambda p: w.substr(acc["pos"], F.length(p)) == p)
+        best = F.coalesce(F.array_max(F.transform(matches, F.length)),
+                          F.lit(1))
+        return (F.when(acc["pos"] > F.length(w), acc)
+                .otherwise(F.struct((acc["pos"] + best).alias("pos"),
+                                    (acc["n"] + 1).alias("n"))))
+
+    return F.when(F.length(w) == 0, F.lit(0)).otherwise(
+        F.aggregate(F.sequence(F.lit(1), F.length(w)),
+                    F.struct(F.lit(1).alias("pos"), F.lit(0).alias("n")),
+                    step, lambda acc: acc["n"]))
+
+
+_BPE_VALUES = ", ".join(f"('{p}')" for p in BPE_VOCAB)
+
+_BPE_SQL = f"""
+WITH RECURSIVE vocab AS (
+  SELECT p, LENGTH(p) AS l FROM (VALUES {_BPE_VALUES}) v(p)),
+words AS ({_WORDS_SQL}),
+positions AS (
+  SELECT doc_id, i, w, k.pos
+  FROM words CROSS JOIN (SELECT unnest(range(1, {BPE_MAXW + 1})) AS pos) k
+  WHERE k.pos <= LENGTH(w)),
+bests AS (
+  SELECT doc_id, i, w, pos, COALESCE(MAX(v.l), 1) AS best_l
+  FROM positions p LEFT JOIN vocab v ON substr(p.w, p.pos, v.l) = v.p
+  GROUP BY doc_id, i, w, pos),
+walk AS (
+  SELECT doc_id, i, w, 1 AS pos, 0 AS ntok FROM words
+  UNION ALL
+  SELECT s.doc_id, s.i, s.w, CAST(s.pos + b.best_l AS INT), s.ntok + 1
+  FROM walk s JOIN bests b
+    ON b.doc_id = s.doc_id AND b.i = s.i AND b.pos = s.pos),
+fin AS (SELECT doc_id, i, ntok FROM walk WHERE pos > LENGTH(w))
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens
+FROM fin GROUP BY doc_id
+"""
+
+
+@q("text_bpe_token_counts", _BPE_SQL)
+def text_bpe_token_counts(spark, sf):
+    """Subword token counting with a FROZEN vocabulary — LLM data work
+    budgets in BPE/wordpiece tokens, and whitespace word counts
+    (text_token_counts) systematically undercount; this op makes the
+    budget tokenizer-true.  Greedy longest-match per word (wordpiece
+    inference) against the broadcast vocab row, computed ENTIRELY
+    in-row: fold over char positions, nested HOFs, zero shuffle except
+    the final per-doc rollup — the corpus is scanned once and no token
+    row ever materializes.  The oracle re-derives the identical
+    segmentation via a recursive position-walk CTE (best-match table +
+    join-driven recursion, aggregation-free in the recursive term).
+    At 100 TB: model = one broadcast row (swap in a real trained
+    vocab), scan = narrow map; nothing changes shape."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    total = F.aggregate(
+        words, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + _bpe_word_ntok(w).cast("bigint"))
+    return (d.crossJoin(_bpe_vocab_row(spark))
+            .select("doc_id",
+                    F.size(words).cast("bigint").alias("n_words"),
+                    total.alias("n_bpe_tokens")))

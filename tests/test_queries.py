@@ -195,6 +195,29 @@ def test_ivf_trained_recall_and_assignment_quality(spark):
     assert trained > seed, (trained, seed)
 
 
+def test_bpe_greedy_segmentation_known_words(spark):
+    """Frozen-vocab greedy longest-match must produce the hand-derived
+    segmentations: whole-vocab words are 1 token, 'windo'+'w' is 2,
+    out-of-vocab letters fall back to singles, and the longest match
+    wins at every position."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.textops import _bpe_vocab_row, _bpe_word_ntok
+
+    df = spark.createDataFrame(
+        [("stream",), ("window",), ("xyz",), ("orders",), ("tab",),
+         ("",)], "w string")
+    got = {r["w"]: r["n"] for r in
+           df.crossJoin(_bpe_vocab_row(spark))
+           .select("w", _bpe_word_ntok(F.col("w")).alias("n")).collect()}
+    assert got == {"stream": 1,   # 'stream' ∈ vocab beats 'st'+'ream'
+                   "window": 2,   # 'windo' + fallback 'w'
+                   "xyz": 3,      # all single-char fallbacks
+                   "orders": 2,   # 'order' + 's'
+                   "tab": 2,      # 'ta' + 'b'
+                   "": 0}, got
+
+
 def test_pq_training_reduces_quantization_error(spark):
     """One k-means update over each subspace must cut total quantization
     error well below the seed codebooks (measured 611→421 on sf0.001 —
