@@ -712,17 +712,26 @@ def text_pii_scrub(spark, sf):
         .alias("n_phones"))
 
 
-@q("text_quality_filter_chain", """
-WITH q AS (
-  SELECT doc_id, text, lang, LENGTH(text) AS n_chars,
+# quality-chain CTEs + gate predicate, shared verbatim by the
+# text_quality_filter_chain oracle and the pipeline_curate_mix oracle
+# (one definition — the stages cannot drift apart)
+_QUALITY_CTES = """qstats AS (
+  SELECT doc_id, lang, LENGTH(text) AS n_chars,
          CAST(len(string_split(text, ' ')) AS INT) AS n_words,
          md5(text) AS h
   FROM documents),
-keep AS (
+qkeep AS (
   SELECT *,
          CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h)
               THEN 1 ELSE 0 END AS is_canonical
-  FROM q)
+  FROM qstats)"""
+_QUALITY_GATE = ("is_canonical = 1 AND n_words >= 20 AND n_chars >= 100 "
+                 "AND n_chars * 1.0 / n_words <= 12 "
+                 "AND lang IN ('en', 'es', 'de')")
+
+
+@q("text_quality_filter_chain", f"""
+WITH {_QUALITY_CTES}
 SELECT doc_id, lang, n_words,
        CAST(is_canonical AS INT) AS dedup_keep,
        CAST(CASE WHEN n_words >= 20 AND n_chars >= 100
@@ -730,11 +739,9 @@ SELECT doc_id, lang, n_words,
             AS INT) AS quality_keep,
        CAST(CASE WHEN lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END
             AS INT) AS lang_keep,
-       CAST(CASE WHEN is_canonical = 1 AND n_words >= 20 AND n_chars >= 100
-                 AND n_chars * 1.0 / n_words <= 12
-                 AND lang IN ('en', 'es', 'de') THEN 1 ELSE 0 END
+       CAST(CASE WHEN {_QUALITY_GATE} THEN 1 ELSE 0 END
             AS INT) AS final_keep
-FROM keep
+FROM qkeep
 """)
 def text_quality_filter_chain(spark, sf):
     """The C4-style end-to-end filter chain — exact-dedup keep ∧ length/
@@ -1466,21 +1473,26 @@ def multimodal_frame_sample(spark, sf):
 DECON_FRAC = 0.1  # contamination gate on cross-set trigram overlap
 
 
-@q("eval_decontaminate", f"""
-WITH ev AS (
+# decontamination CTEs shared by the eval_decontaminate oracle and the
+# pipeline_curate_mix oracle (one definition, no drift)
+_DECON_CTES = f"""ev AS (
   SELECT DISTINCT g FROM ({_TRIGRAMS_SQL}) WHERE doc_id % 50 = 0),
-st AS (
+dst AS (
   SELECT t.doc_id, COUNT(*) AS n_grams,
          CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_hit
   FROM ({_TRIGRAMS_SQL}) t LEFT JOIN ev ON ev.g = t.g
   WHERE t.doc_id % 50 <> 0
-  GROUP BY t.doc_id)
+  GROUP BY t.doc_id)"""
+
+
+@q("eval_decontaminate", f"""
+WITH {_DECON_CTES}
 SELECT doc_id, n_grams, n_hit,
        ROUND(n_hit * 1.0 / n_grams, 6) AS overlap_frac,
        CASE WHEN n_hit * 1.0 / n_grams > {DECON_FRAC} THEN 0 ELSE 1 END
          AS keep
-FROM st
+FROM dst
 """)
 def eval_decontaminate(spark, sf):
     """Train/eval decontamination: every training doc is scored by the
@@ -2330,3 +2342,110 @@ def text_bpe_token_counts(spark, sf):
             .select("doc_id",
                     F.size(words).cast("bigint").alias("n_words"),
                     total.alias("n_bpe_tokens")))
+
+
+# =========================================================================
+# End-to-end curation flagship: quality chain → LSH dedup keep-set →
+# decontamination gate → dataset mix over the survivors
+# =========================================================================
+
+_PIPELINE_SQL = f"""
+WITH {_QUALITY_CTES},
+{_DECON_CTES},
+lshp AS ({_LSH_PAIRS_SQL}),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM lshp),
+flags AS (
+  SELECT k.doc_id, k.lang,
+         CASE WHEN {_QUALITY_GATE} THEN 1 ELSE 0 END AS g_quality,
+         CASE WHEN dp.doc_id IS NULL THEN 1 ELSE 0 END AS g_dedup,
+         CASE WHEN dc.doc_id IS NOT NULL
+              AND dc.n_hit * 1.0 / dc.n_grams <= {DECON_FRAC}
+              THEN 1 ELSE 0 END AS g_decon
+  FROM qkeep k
+  LEFT JOIN dups dp ON dp.doc_id = k.doc_id
+  LEFT JOIN dst dc ON dc.doc_id = k.doc_id),
+counts AS (
+  SELECT lang, COUNT(*) AS n_input,
+         CAST(SUM(g_quality) AS BIGINT) AS n_quality,
+         CAST(SUM(g_quality * g_dedup) AS BIGINT) AS n_dedup,
+         CAST(SUM(g_quality * g_dedup * g_decon) AS BIGINT) AS n_decon
+  FROM flags GROUP BY lang),
+tgt AS (SELECT MIN(n_decon) AS m FROM counts WHERE n_decon > 0),
+thr AS (
+  SELECT c.lang, c.n_input, c.n_quality, c.n_dedup, c.n_decon,
+         CASE WHEN c.n_decon > 0 THEN (tgt.m * 1000000) // c.n_decon
+              ELSE CAST(0 AS BIGINT) END AS mix_ppm
+  FROM counts c CROSS JOIN tgt),
+kept AS (
+  SELECT f.lang, COUNT(*) AS n_kept
+  FROM flags f JOIN thr ON thr.lang = f.lang
+  WHERE f.g_quality * f.g_dedup * f.g_decon = 1
+    AND CAST(CONCAT('0x', substr(md5(CAST(f.doc_id AS VARCHAR) || '|'
+                                     || f.lang), 1, 8)) AS BIGINT)
+        % 1000000 < thr.mix_ppm
+  GROUP BY f.lang)
+SELECT t.lang, t.n_input, t.n_quality, t.n_dedup, t.n_decon, t.mix_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM thr t LEFT JOIN kept k ON k.lang = t.lang
+"""
+
+
+@q("pipeline_curate_mix", _PIPELINE_SQL)
+def pipeline_curate_mix(spark, sf):
+    """The curation pipeline a pretraining-data user actually runs, as
+    ONE composed plan over the existing stage operators: C4-style
+    quality chain (text_quality_filter_chain's final gate) → MinHash-
+    LSH near-dup keep-set (drop every doc that shares a band bucket
+    with a lower doc_id — dedup_minhash_lsh_pairs' candidates) →
+    benchmark decontamination gate (eval_decontaminate's trigram-
+    overlap keep; the held-out eval docs themselves drop) → data-driven
+    dataset mix over the SURVIVORS (text_dataset_mix's integer-ppm
+    hash-rate sampling, thresholds computed on post-filter counts).
+    Output: per-lang funnel counts at every stage + the mix decision.
+    The oracle chains the SAME stage CTE constants the individual
+    oracles use, so the composition is value-verified end-to-end.
+    Scale shape: every gate is doc_id-keyed (hash joins, no
+    broadcast-of-growing-tables), stage flags are computed in one pass
+    and every rollup is map-side-combinable; the lang-level threshold
+    table broadcasts."""
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    qc = text_quality_filter_chain(spark, sf).select(
+        "doc_id", F.col("final_keep").alias("g_quality"))
+    dups = (_lsh_pairs_from_bands(_minhash_bands(spark, sf))
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+            .withColumn("_dup", F.lit(1)))
+    dec = eval_decontaminate(spark, sf).select(
+        "doc_id", F.col("keep").alias("_dkeep"))
+    flags = (d.join(qc, "doc_id")
+             .join(dups, "doc_id", "left")
+             .join(dec, "doc_id", "left")
+             .select("doc_id", "lang", "g_quality",
+                     F.when(F.col("_dup").isNull(), 1).otherwise(0)
+                     .alias("g_dedup"),
+                     F.coalesce("_dkeep", F.lit(0)).alias("g_decon")))
+    counts = (flags.groupBy("lang")
+              .agg(F.count("*").alias("n_input"),
+                   F.sum("g_quality").alias("n_quality"),
+                   F.sum(F.col("g_quality") * F.col("g_dedup"))
+                   .alias("n_dedup"),
+                   F.sum(F.col("g_quality") * F.col("g_dedup")
+                         * F.col("g_decon")).alias("n_decon")))
+    tgt = counts.filter(F.col("n_decon") > 0).agg(F.min("n_decon").alias("m"))
+    thr = (counts.crossJoin(F.broadcast(tgt))
+           .select("lang", "n_input", "n_quality", "n_dedup", "n_decon",
+                   F.when(F.col("n_decon") > 0,
+                          F.expr("(m * 1000000) DIV n_decon"))
+                   .otherwise(F.lit(0).cast("bigint")).alias("mix_ppm")))
+    slot = F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws("|", F.col("doc_id").cast("string"), "lang"),
+        "UTF-8")), 1, 8), 16, 10).cast("long") % 1000000
+    kept = (flags.filter((F.col("g_quality") * F.col("g_dedup")
+                          * F.col("g_decon")) == 1)
+            .join(F.broadcast(thr.select("lang", "mix_ppm")), "lang")
+            .filter(slot < F.col("mix_ppm"))
+            .groupBy("lang").agg(F.count("*").alias("n_kept")))
+    return (thr.join(kept, "lang", "left")
+            .select("lang", "n_input", "n_quality", "n_dedup", "n_decon",
+                    "mix_ppm",
+                    F.coalesce("n_kept", F.lit(0).cast("bigint"))
+                    .alias("n_kept")))
