@@ -50,45 +50,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01 verified the 50 relational+crawl ops; r2 therefore leads with the
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
+# Round-5 window (slots 1-50, asserted by tests/test_entry_rotation.py):
+#   1-18  the 18 queries whose newest evidence is r02 (3 rounds stale —
+#         the oldest anywhere; VERDICT r4 task 1),
+#  19-23  the 5 round-5 additions (never evaluated),
+#  24-31  queries whose code or oracle text changed this round
+#         (events_funnel broadcast fix; quality/decon oracle-CTE
+#         factoring; the _ivf_tail_sql/_ivf_asg_probe_ctes refactor
+#         touching every IVF/k-means oracle string),
+#  32-50  19 oldest-evidence (r03) fills, highest-traffic ops first.
+# Past slot 50: the remaining 20 r03-aged queries (simple relational/
+# streaming ops, each with a dedicated local oracle test), then the
+# r04-evidenced rest.
 _PRIORITY = [
-    # -- the 3 red r03 rows (DuckDB HUGEINT oracle-type artifact, now
-    #    cast to BIGINT): re-prove green FIRST --
-    "index_inverted", "source_text_lines", "eval_decontaminate",
-    # -- NEW in round 4 (no driver evidence yet) --
-    "embed_kmeans_train", "ann_ivf_indexed", "ann_ivf_trained",
-    "text_dataset_mix", "dedup_span_winnow", "crawl_recrawl_topk",
-    "graph_hits", "embed_standardize", "events_funnel",
-    "graph_bfs_depth", "source_hive_partitioned", "agg_pandas_udaf",
-    "crawl_robots_audit",
-    # -- code changed in round 4 (broadcast centroid model, key-branch
-    #    merge, deterministic scratch dirs): refresh their evidence --
-    "ann_ivf_topk", "embed_kmeans_iter", "merge_upsert",
-    "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_warcish_reader",
-    "join_bucketed_colocated",
-    # -- newest evidence is r02 (aging out of the 2-round window) --
-    "crawl_extract_text", "crawl_link_graph", "crawl_canonicalize",
-    "crawl_topk_per_host", "crawl_robots_filter", "crawl_seen_bloom_probe",
-    "husker_value_ops", "husker_json_fields",
-    "dedup_exact", "dedup_minhash_signatures", "dedup_simhash",
-    "ann_bruteforce_topk", "ann_lsh_bucketed",
-    "text_token_counts", "text_quality_score", "text_lang_id",
-    "text_pii_scrub", "text_quality_filter_chain", "sample_stratified",
-    "text_fingerprint_winnow",
-    "multimodal_decode_meta", "multimodal_features",
-    "scan_filter_project", "nullsafe_eq",
-    "agg_pricing_summary", "agg_count_distinct",
-    "agg_approx_count_distinct", "agg_rollup", "agg_cube",
-    "agg_grouping_sets",
+    # -- newest evidence r02 --
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_broadcast_dim", "join_asof",
-    # (7 r02-aged queries fall past slot 50 this round — pure-relational
-    #  window/cross/theta ops with dedicated local oracle tests:
-    #  join_range_theta, join_cross, scalar_subquery, window_rank_topk,
-    #  window_rank_dense, window_lag_lead, window_running_sum)
-    "join_range_theta", "join_cross", "scalar_subquery",
+    "join_anti", "join_broadcast_dim", "join_asof", "join_cross",
+    "join_range_theta", "scalar_subquery",
     "window_rank_topk", "window_rank_dense", "window_lag_lead",
     "window_running_sum",
+    "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_approx_count_distinct",
+    # -- NEW in round 5 (no driver evidence yet) --
+    "ann_ivf_upsert", "embed_pq_codes", "ann_ivfpq_topk",
+    "text_bpe_token_counts", "pipeline_curate_mix",
+    # -- code/oracle changed in round 5: refresh their evidence --
+    "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
+    "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
+    "embed_kmeans_iter", "embed_kmeans_train",
+    # -- oldest remaining evidence (r03): highest-traffic ops first --
+    "dedup_cluster_cc", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_semantic_clusters",
+    "dedup_lines_boilerplate", "graph_pagerank",
+    "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
+    "text_chunk_split", "text_model_score", "text_repetition_filter",
+    "embed_centroids", "multimodal_frame_sample",
+    "husker_scrape_fields", "crawl_host_rollup", "crawl_sitemaps",
+    "tumbling_window",
+    # ---- slot-50 boundary: everything below falls outside the driver
+    #      window this round ----
+    "array_ops", "date_trunc_agg", "datediff_extract", "distinct_rows",
+    "explode_words", "hash_md5", "hash_xxhash64",
+    "icebergish_time_travel", "json_extract", "math_funcs",
+    "parse_url_host", "percentile_prices", "pivot_segments",
+    "regexp_ops", "session_window", "set_union_intersect_except",
+    "sliding_window", "sort_limit_topn", "string_funcs",
+    "window_range_frame",
 ]
 
 

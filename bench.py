@@ -58,6 +58,12 @@ HEADLINE = [
     "graph_hits",              # 2-round hubs/authorities over husked links
     "embed_standardize",       # per-dim whitening, broadcast-stats in-row
     "events_funnel",           # view→click→purchase staged conversion
+    # round-5 additions (appended — earlier shapes stay frozen verbatim)
+    "ann_ivf_upsert",          # partition-granular index merge + serve
+    "embed_pq_codes",          # trained PQ encoding (broadcast codebooks)
+    "ann_ivfpq_topk",          # ADC serve over codes (no vectors moved)
+    "text_bpe_token_counts",   # in-row greedy subword tokenization
+    "pipeline_curate_mix",     # composed curation funnel + mix
 ]
 
 
