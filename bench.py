@@ -62,6 +62,8 @@ HEADLINE = [
     "ann_ivf_upsert",          # partition-granular index merge + serve
     "embed_pq_codes",          # trained PQ encoding (broadcast codebooks)
     "ann_ivfpq_topk",          # ADC serve over codes (no vectors moved)
+    "ann_ivfpq_indexed",       # ADC from the persisted pruned code table
+    "ann_ivfpq_residual",      # Faiss-style residual encoding + ADC
     "text_bpe_token_counts",   # in-row greedy subword tokenization
     "pipeline_curate_mix",     # composed curation funnel + mix
 ]

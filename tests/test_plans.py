@@ -226,6 +226,27 @@ def test_ivf_upsert_touches_only_affected_partitions(spark):
     assert "cell" in pf, pf
 
 
+def test_pq_index_partition_prune(spark):
+    """The persisted IVF-PQ index is cell-partitioned and the serve scan
+    must prune on the probed cells; its rows carry codes, never
+    embeddings (the compressed-artifact contract)."""
+    from sparkcrawl.registry import t as load
+    from sparkcrawl.textops import pq_index_table
+
+    tbl = pq_index_table(spark, SF)
+    assert "embedding" not in tbl.schema.fieldNames()
+    plan = plan_of(tbl.read(spark).filter(F.col("cell").isin([1, 2])))
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "cell" in pf, pf
+    # one row per vector, codes in [0, PQ_K)
+    from sparkcrawl.textops import PQ_K, PQ_M
+    rows = tbl.read(spark).collect()
+    e = load(spark, SF, "embeddings")
+    assert len(rows) == e.count()
+    assert all(len(r["codes"]) == PQ_M
+               and all(0 <= c < PQ_K for c in r["codes"]) for r in rows)
+
+
 def test_dataset_mix_broadcasts_rates(spark):
     """The per-lang rate table must broadcast (it is langs-sized), the
     counts scan must prune to the lang column, and nothing may
