@@ -64,8 +64,10 @@ HEADLINE = [
     "ann_ivfpq_topk",          # ADC serve over codes (no vectors moved)
     "ann_ivfpq_indexed",       # ADC from the persisted pruned code table
     "ann_ivfpq_residual",      # Faiss-style residual encoding + ADC
+    "ann_ivfpq_upsert",        # partition-granular merge of the code table
     "text_bpe_token_counts",   # in-row greedy subword tokenization
     "pipeline_curate_mix",     # composed curation funnel + mix
+    "crawl_rank_frontier",     # PageRank x staleness re-crawl batches
 ]
 
 

@@ -130,14 +130,16 @@ def _pr_iter_sql(prev: str) -> str:
 """
 
 
-_PAGERANK_SQL = f"""
-WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+_PR_CTES = f"""nn AS (SELECT COUNT(*) AS c FROM documents),
 edges AS (SELECT doc_id AS src, target AS dst FROM ({_PR_TARGETS_SQL})),
 deg AS (SELECT src, COUNT(*) AS k FROM edges GROUP BY src),
 pr0 AS (SELECT doc_id AS v, 1.0 / nn.c AS pr FROM documents CROSS JOIN nn),
 pr1 AS ({_pr_iter_sql('pr0')}),
 pr2 AS ({_pr_iter_sql('pr1')}),
-pr3 AS ({_pr_iter_sql('pr2')})
+pr3 AS ({_pr_iter_sql('pr2')})"""
+
+_PAGERANK_SQL = f"""
+WITH {_PR_CTES}
 SELECT v AS doc_id, ROUND(pr, 8) AS pagerank FROM pr3
 """
 
@@ -386,3 +388,52 @@ def graph_bfs_depth(spark, sf, horizon: int = BFS_HORIZON):
             .alias("depth"))
     finally:
         edges.unpersist()
+
+
+# ------------------------------------ rank-weighted re-crawl scheduling
+
+@q("crawl_rank_frontier", "WITH " + _PR_CTES + """,
+prk AS (SELECT v AS doc_id, ROUND(pr, 8) AS pagerank FROM pr3),
+f AS (SELECT doc_id, 'docs' || (doc_id % 10) || '.example' AS host,
+             CAST(doc_id * 37 % 180 AS INT) AS age_days
+      FROM documents),
+scored AS (
+  SELECT f.host, f.doc_id, prk.pagerank, f.age_days,
+         ROUND(prk.pagerank * f.age_days, 8) AS rscore
+  FROM f JOIN prk ON prk.doc_id = f.doc_id)
+SELECT host, doc_id, pagerank, age_days, rscore, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                               ORDER BY rscore DESC, doc_id) AS rk
+  FROM scored) WHERE rk <= 10
+""")
+def crawl_rank_frontier(spark, sf):
+    """Rank-weighted re-crawl scheduling — the feedback loop a mature
+    crawler runs: page importance (PageRank over the husked link
+    graph) × staleness (age since last fetch, the crawl_recrawl_topk
+    signal) decides which known urls each host's politeness budget
+    re-fetches next.  Priority = ROUND(pagerank · age_days, 8), per
+    host top-10 (rscore desc, doc_id tie-break) — important-and-stale
+    pages first, unimportant-or-fresh last.  The oracle chains the
+    unrolled PageRank CTEs into the frozen staleness arithmetic, so
+    the whole composition is value-verified.  Scale shape: PageRank
+    amortizes across scheduling runs (persist pr3 as a table); the
+    join is doc-keyed; per-host top-k is the A8 window
+    (WindowGroupLimit prunes map-side, two-phase salting for fan-in
+    hosts)."""
+    from .registry import t as _t
+    pr = graph_pagerank(spark, sf)
+    f_ = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("docs"), F.col("doc_id") % 10,
+                 F.lit(".example")).alias("host"),
+        (F.col("doc_id") * 37 % 180).cast("int").alias("age_days"))
+    scored = (f_.join(pr, "doc_id")
+              .select("host", "doc_id", "pagerank", "age_days",
+                      F.round(F.col("pagerank") * F.col("age_days"), 8)
+                      .alias("rscore")))
+    win = Window.partitionBy("host").orderBy(F.col("rscore").desc(),
+                                             "doc_id")
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= 10)
+            .select("host", "doc_id", "pagerank", "age_days", "rscore",
+                    "rk"))

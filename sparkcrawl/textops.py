@@ -1954,16 +1954,31 @@ def ivf_upsert_table(spark, sf, n_cells: int = IVF_N_CELLS,
         schema, partition_by="cell")
     tbl.truncate()
     tbl.replace(base, 0)
-    new_cells = {r["cell"] for r in batch.select("cell").distinct().collect()}
-    old_cells = {r["cell"] for r in
-                 tbl.read(spark).join(batch.select("vec_id"), "vec_id",
-                                      "semi")
-                 .select("cell").distinct().collect()}
-    affected = sorted(new_cells | old_cells)
-    survivors = (tbl.read(spark).filter(F.col("cell").isin(affected))
-                 .join(batch.select("vec_id"), "vec_id", "left_anti"))
-    tbl.overwrite_partitions(survivors.unionByName(batch), affected, 1)
+    merge_upsert_partitions(spark, tbl, batch)
     return tbl
+
+
+def merge_upsert_partitions(spark, tbl, batch, key: str = "vec_id",
+                            part: str = "cell"):
+    """MERGE a keyed batch into a partitioned Icebergish table at
+    partition granularity (the generic step behind ivf_upsert_table and
+    pq_upsert_table): affected partitions = batch's partitions ∪
+    partitions currently holding a batch key (bounded metadata
+    collects); merged rows = current affected-partition rows minus
+    batch keys + the batch; ONE overwrite_partitions commit.  Returns
+    the affected partition values."""
+    new_parts = {r[part] for r in batch.select(part).distinct().collect()}
+    old_parts = {r[part] for r in
+                 tbl.read(spark).join(batch.select(key), key, "semi")
+                 .select(part).distinct().collect()}
+    affected = sorted(new_parts | old_parts)
+    survivors = (tbl.read(spark).filter(F.col(part).isin(affected))
+                 .join(batch.select(key), key, "left_anti"))
+    tbl.overwrite_partitions(survivors.unionByName(batch), affected,
+                             tbl.current_snapshot_id() + 1)
+    return affected
+
+
 
 
 @q("ann_ivf_upsert", _IVF_SQL)
@@ -2676,3 +2691,59 @@ def pipeline_curate_mix(spark, sf):
                     "mix_ppm",
                     F.coalesce("n_kept", F.lit(0).cast("bigint"))
                     .alias("n_kept")))
+
+
+def pq_upsert_table(spark, sf, upsert_mod: int = UPSERT_MOD):
+    """Incremental maintenance of the COMPRESSED index: the same
+    partition-granular merge as ivf_upsert_table, but over the PQ code
+    table — the shape a daily-append 100 TB embedding pipeline runs
+    (encode the new batch against the frozen codebooks, merge only the
+    touched cells; codebook retraining is a separate, rarer event).
+    Base rows for the batch keys carry a stale cell AND stale codes;
+    after the merge the table must equal the fresh encoding, which the
+    shared _IVFPQ_SQL oracle verifies through the serve path."""
+    from .sources import _scratch, _sfslug
+    from .storage import IcebergishTable
+    e = t(spark, sf, "embeddings")
+    cbrow = _pq_cb_row(pq_codebooks(spark, sf))
+    fresh = (_pq_index_df(e, cbrow)
+             .select("vec_id", "codes",
+                     F.col("cell").cast("int").alias("cell")))
+    is_batch = (F.col("vec_id") % upsert_mod) == 0
+    base = fresh.withColumn(
+        "cell", F.when(is_batch,
+                       (F.col("vec_id") % IVF_N_CELLS).cast("int"))
+        .otherwise(F.col("cell"))).withColumn(
+        "codes", F.when(is_batch,
+                        F.array(*[F.lit(0)] * PQ_M))
+        .otherwise(F.col("codes")))
+    batch = fresh.filter(is_batch)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+        T.StructField("cell", T.IntegerType()),
+    ])
+    tbl = IcebergishTable(
+        _scratch(f"pq_upsert_{_sfslug(sf)}_{upsert_mod}"),
+        schema, partition_by="cell")
+    tbl.truncate()
+    tbl.replace(base, 0)
+    merge_upsert_partitions(spark, tbl, batch)
+    return tbl
+
+
+@q("ann_ivfpq_upsert", _IVFPQ_SQL)
+def ann_ivfpq_upsert(spark, sf, n_probe: int = IVF_N_PROBE):
+    """ADC serve from the incrementally-merged PQ code table — the full
+    compressed-index lifecycle: train → encode → persist → upsert at
+    partition granularity → pruned serve.  Same oracle as
+    ann_ivfpq_topk: it passes only if the merge left exactly the fresh
+    encoding (stale cells and stale code arrays both gone)."""
+    e = t(spark, sf, "embeddings")
+    cbrow = _pq_cb_row(pq_codebooks(spark, sf))
+    probe = _pq_query_probes(e, cbrow, n_probe)
+    cells = sorted({r["cell"] for r in probe.select("cell").distinct()
+                    .collect()})
+    idx = (pq_upsert_table(spark, sf).read(spark)
+           .filter(F.col("cell").isin(cells)))
+    return _adc_serve(probe, idx)
