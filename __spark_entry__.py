@@ -53,13 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 window (slots 1-50, asserted by tests/test_entry_rotation.py):
 #   1-18  the 18 queries whose newest evidence is r02 (3 rounds stale —
 #         the oldest anywhere; VERDICT r4 task 1),
-#  19-27  the 9 round-5 additions (never evaluated),
-#  28-35  queries whose code or oracle text changed this round
+#  19-28  the 10 round-5 additions (never evaluated),
+#  29-36  queries whose code or oracle text changed this round
 #         (events_funnel broadcast fix; quality/decon oracle-CTE
 #         factoring; the _ivf_tail_sql/_ivf_asg_probe_ctes refactor
 #         touching every IVF/k-means oracle string),
-#  36-50  15 oldest-evidence (r03) fills, highest-traffic ops first.
-# Past slot 50: the remaining 24 r03-aged queries (simple relational/
+#  37-50  14 oldest-evidence (r03) fills, highest-traffic ops first.
+# Past slot 50: the remaining 25 r03-aged queries (simple relational/
 # streaming ops, each with a dedicated local oracle test), then the
 # r04-evidenced rest.
 _PRIORITY = [
@@ -75,7 +75,7 @@ _PRIORITY = [
     "ann_ivf_upsert", "embed_pq_codes", "ann_ivfpq_topk",
     "ann_ivfpq_indexed", "ann_ivfpq_residual", "ann_ivfpq_upsert",
     "text_bpe_token_counts", "pipeline_curate_mix",
-    "crawl_rank_frontier",
+    "crawl_rank_frontier", "agg_approx_percentile",
     # -- code/oracle changed in round 5: refresh their evidence --
     "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
     "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
@@ -86,9 +86,10 @@ _PRIORITY = [
     "dedup_lines_boilerplate", "graph_pagerank",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
     "text_chunk_split", "text_model_score", "text_repetition_filter",
-    "embed_centroids", "multimodal_frame_sample",
+    "embed_centroids",
     # ---- slot-50 boundary: everything below falls outside the driver
     #      window this round ----
+    "multimodal_frame_sample",
     "husker_scrape_fields", "crawl_host_rollup",
     "crawl_sitemaps", "tumbling_window",
     "array_ops", "date_trunc_agg", "datediff_extract", "distinct_rows",

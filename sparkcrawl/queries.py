@@ -717,6 +717,24 @@ def percentile_prices(spark, sf):
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
 
 
+@q("agg_approx_percentile")  # sketch internals are engine-specific → rows-only
+def agg_approx_percentile(spark, sf):
+    """Approximate percentiles via Spark's GK-sketch
+    (``percentile_approx``, accuracy 1000) — the mergeable companion to
+    percentile_prices' exact interpolation, and the only form that
+    scales: exact percentiles need a per-group sort, while the sketch
+    is map-side-combinable constant memory (same role HLL plays for
+    count-distinct).  No cross-engine oracle (DuckDB's approx sketch
+    differs internally); test_approx_percentile_close pins the
+    estimates within 2%% of the exact answers locally."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5),
+                                    F.lit(1000)), 4).alias("ap50"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.9),
+                                    F.lit(1000)), 4).alias("ap90"))
+
+
 @q("icebergish_time_travel")  # snapshot pinning is engine-side → rows-only
 def icebergish_time_travel(spark, sf):
     """Icebergish scans with snapshot pinning (SURVEY §2.B scans row):

@@ -21,9 +21,25 @@ def con():
     return duck_con(SF)
 
 
+# every rows-only query must be HERE and must have a dedicated local
+# verification test (an explicit allowlist beats a count: adding an
+# unverified query fails loudly with its name)
+ROWS_ONLY_ALLOWED = {
+    "agg_approx_count_distinct",   # HLL internals; closeness test
+    "agg_approx_percentile",       # GK sketch; test_approx_percentile_close
+    "ann_lsh_bucketed",            # hyperplane constants; recall test
+    "crawl_seen_bloom_probe",      # bloom bit math; test_bloom
+    "hash_xxhash64",               # Spark-only hash; pure-py twin test
+    "icebergish_time_travel",      # engine-side snapshots; test_storage
+    "multimodal_features",         # numpy features; invariant tests
+}
+
+
 def test_inventory_size():
     assert len(ORACLED) >= 50
-    assert len(ROWS_ONLY) <= 6, f"too many unverified queries: {ROWS_ONLY}"
+    assert set(ROWS_ONLY) == ROWS_ONLY_ALLOWED, (
+        f"unexpected rows-only queries: "
+        f"{set(ROWS_ONLY) ^ ROWS_ONLY_ALLOWED}")
 
 
 def test_oracle_types_no_hugeint(con):
@@ -146,6 +162,61 @@ def test_approx_count_distinct_close(spark, con):
         "FROM lineitem").fetchone()
     assert abs(got["approx_parts"] - want[0]) / want[0] < 0.1
     assert abs(got["approx_orders"] - want[1]) / want[1] < 0.1
+
+
+def test_approx_percentile_close(spark, con):
+    """GK-sketch estimates must land within 2% of the exact interpolated
+    percentiles for every priority group."""
+    got = {r["o_orderpriority"]: (r["ap50"], r["ap90"])
+           for r in Q["agg_approx_percentile"](spark, SF).collect()}
+    want = con.execute(
+        "SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) p50, "
+        "quantile_cont(o_totalprice, 0.9) p90 FROM orders GROUP BY 1"
+    ).fetchall()
+    assert len(got) == len(want) > 0
+    for prio, p50, p90 in want:
+        assert abs(got[prio][0] - p50) / p50 < 0.02, (prio, got[prio], p50)
+        assert abs(got[prio][1] - p90) / p90 < 0.02, (prio, got[prio], p90)
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """Property test: the in-row greedy fold must agree with a direct
+    pure-Python greedy longest-match tokenizer on 300 pseudorandom
+    words — vocab-piece concatenations (worst case for longest-match
+    boundaries) and random letter strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.textops import BPE_VOCAB, _bpe_vocab_row, _bpe_word_ntok
+
+    def py_ntok(w):
+        pos, n = 0, 0
+        while pos < len(w):
+            best = 1
+            for p in BPE_VOCAB:
+                if len(p) > best and w.startswith(p, pos):
+                    best = len(p)
+            pos += best
+            n += 1
+        return n
+
+    rng = random.Random(42)
+    words = [""]
+    for _ in range(300):
+        if rng.random() < 0.5:
+            words.append("".join(rng.choice(BPE_VOCAB)
+                                 for _ in range(rng.randint(1, 3))))
+        else:
+            words.append("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                                 for _ in range(rng.randint(1, 12))))
+    df = spark.createDataFrame(list(enumerate(words)), "i long, w string")
+    got = {r["i"]: r["n"] for r in
+           df.crossJoin(_bpe_vocab_row(spark))
+           .select("i", _bpe_word_ntok(F.col("w")).alias("n")).collect()}
+    bad = [(words[i], got[i], py_ntok(words[i]))
+           for i in range(len(words)) if got[i] != py_ntok(words[i])]
+    assert not bad, bad[:5]
 
 
 def test_ivf_recall_vs_bruteforce(spark):
