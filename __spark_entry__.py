@@ -53,13 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 window (slots 1-50, asserted by tests/test_entry_rotation.py):
 #   1-18  the 18 queries whose newest evidence is r02 (3 rounds stale —
 #         the oldest anywhere; VERDICT r4 task 1),
-#  19-28  the 10 round-5 additions (never evaluated),
-#  29-36  queries whose code or oracle text changed this round
+#  19-32  the 14 round-5 additions (never evaluated),
+#  33-40  queries whose code or oracle text changed this round
 #         (events_funnel broadcast fix; quality/decon oracle-CTE
 #         factoring; the _ivf_tail_sql/_ivf_asg_probe_ctes refactor
 #         touching every IVF/k-means oracle string),
-#  37-50  14 oldest-evidence (r03) fills, highest-traffic ops first.
-# Past slot 50: the remaining 25 r03-aged queries (simple relational/
+#  41-50  10 oldest-evidence (r03) fills, highest-traffic ops first.
+# Past slot 50: the remaining 29 r03-aged queries (simple relational/
 # streaming ops, each with a dedicated local oracle test), then the
 # r04-evidenced rest.
 _PRIORITY = [
@@ -76,6 +76,8 @@ _PRIORITY = [
     "ann_ivfpq_indexed", "ann_ivfpq_residual", "ann_ivfpq_upsert",
     "text_bpe_token_counts", "pipeline_curate_mix",
     "crawl_rank_frontier", "agg_approx_percentile",
+    "ann_recall_eval", "graph_triangle_count",
+    "window_ntile_cume", "unpivot_metrics",
     # -- code/oracle changed in round 5: refresh their evidence --
     "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
     "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
@@ -85,10 +87,10 @@ _PRIORITY = [
     "dedup_embedding_cosine", "dedup_semantic_clusters",
     "dedup_lines_boilerplate", "graph_pagerank",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
-    "text_chunk_split", "text_model_score", "text_repetition_filter",
-    "embed_centroids",
     # ---- slot-50 boundary: everything below falls outside the driver
     #      window this round ----
+    "text_chunk_split", "text_model_score", "text_repetition_filter",
+    "embed_centroids",
     "multimodal_frame_sample",
     "husker_scrape_fields", "crawl_host_rollup",
     "crawl_sitemaps", "tumbling_window",

@@ -437,3 +437,60 @@ def crawl_rank_frontier(spark, sf):
             .filter(F.col("rk") <= 10)
             .select("host", "doc_id", "pagerank", "age_days", "rscore",
                     "rk"))
+
+
+# ------------------------------------------------------- triangle counting
+
+@q("graph_triangle_count", f"""
+WITH edges AS (SELECT doc_id AS src, target AS dst FROM ({_PR_TARGETS_SQL})),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+nodes AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+SELECT d.doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM documents d
+LEFT JOIN (SELECT v, COUNT(*) AS n FROM nodes GROUP BY v) cnt
+  ON cnt.v = d.doc_id
+""")
+def graph_triangle_count(spark, sf):
+    """Per-node triangle counts over the husked link graph — the local
+    clustering signal (spam-farm and boilerplate-ring detection in a
+    web corpus: link farms are triangle-dense).  Canonical enumeration:
+    undirected edges ordered a<b, each triangle x<y<z found exactly
+    once by the two-path join e1(x,y)⋈e2(y,z) closed by e3(x,z).
+    Scale shape: the classic edge-ordered triangle join — every join is
+    keyed equi-join (no cartesian); at web scale order vertices by
+    DEGREE instead of id before the same join (caps the fan-out of
+    high-degree hubs, the standard MapReduce-triangles trick) and
+    count per node with a map-side-combinable agg."""
+    from .crawlq import _doc_pages, _husk_udf
+    from .registry import t as _t
+
+    pages = _doc_pages(spark, sf)
+    edges = (pages.withColumn("h", _husk_udf("url", "html"))
+             .select(F.col("doc_id").alias("src"),
+                     F.explode("h.links").alias("link"))
+             .select("src",
+                     F.regexp_extract("link", r"/d/(\d+)$", 1)
+                     .cast("long").alias("dst")))
+    und = (edges.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct())
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                   F.col("e2.b").alias("z")))
+    counts = (tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+              .groupBy("v").agg(F.count("*").alias("n")))
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return (docs.join(counts, docs["doc_id"] == counts["v"], "left")
+            .select("doc_id",
+                    F.coalesce("n", F.lit(0)).cast("bigint")
+                    .alias("n_triangles")))

@@ -717,6 +717,53 @@ def percentile_prices(spark, sf):
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"))
 
 
+@q("window_ntile_cume", """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS tile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""")
+def window_ntile_cume(spark, sf):
+    """Distribution window functions (the remaining window family
+    members): quartile bucket (NTILE), PERCENT_RANK, CUME_DIST per
+    priority group, fully deterministic via the orderkey tie-break.
+    Same scale shape as every other window op: one hash shuffle on the
+    partition key, in-partition sort."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice",
+                                                      "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
+@q("unpivot_metrics", """
+WITH m AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT metric, COUNT(*) AS n, ROUND(SUM(v), 2) AS total
+FROM m GROUP BY metric
+""")
+def unpivot_metrics(spark, sf):
+    """UNPIVOT/melt (the inverse of pivot_segments): wide measure
+    columns to long (metric, value) rows via Spark's native `unpivot`,
+    then a per-metric rollup.  The melt is a zero-shuffle narrow map
+    (each input row emits 4); only the metrics-sized agg shuffles."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = t(spark, sf, "lineitem").select(*cols)
+    m = li.unpivot([], cols, "metric", "v")
+    return m.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 2).alias("total"))
+
+
 @q("agg_approx_percentile")  # sketch internals are engine-specific → rows-only
 def agg_approx_percentile(spark, sf):
     """Approximate percentiles via Spark's GK-sketch

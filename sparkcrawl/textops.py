@@ -2747,3 +2747,43 @@ def ann_ivfpq_upsert(spark, sf, n_probe: int = IVF_N_PROBE):
     idx = (pq_upsert_table(spark, sf).read(spark)
            .filter(F.col("cell").isin(cells)))
     return _adc_serve(probe, idx)
+
+
+# ---------------------------------------------------------------- ANN eval
+
+from .registry import ORACLES as _ORACLES  # noqa: E402  (self-composition)
+
+_RECALL_SQL = f"""
+WITH ivf AS ({_IVF_SQL}),
+brute AS ({_ORACLES["ann_bruteforce_topk"]})
+SELECT b.query_id,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / 5.0, 6) AS recall_at_5
+FROM brute b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@q("ann_recall_eval", _RECALL_SQL)
+def ann_recall_eval(spark, sf):
+    """Index-quality evaluation AS A QUERY: per-query recall@5 of the
+    IVF index against the exact brute-force top-5 — the measurement a
+    production ANN deployment runs continuously (on a sampled query
+    set) to decide when n_probe or the quantizer needs retraining.
+    Both pipelines run in-engine and the oracle chains both CTE stacks,
+    so the evaluation itself is value-verified, not just the indexes.
+    Scale shape: brute force over a SAMPLED query set (queries
+    broadcast, one corpus scan) — the corpus-sized work is the
+    baseline's cost, the comparison is queries×k rows."""
+    ivf = (ann_ivf_topk(spark, sf)
+           .select("query_id", "neighbor_id")
+           .withColumn("_hit", F.lit(1)))
+    brute = ann_bruteforce_topk(spark, sf).select("query_id", "neighbor_id")
+    hits = F.sum(F.coalesce("_hit", F.lit(0)))
+    return (brute.join(ivf, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(hits.alias("n_hits"),
+                 F.round(hits / 5.0, 6).alias("recall_at_5")))
