@@ -764,6 +764,100 @@ def unpivot_metrics(spark, sf):
         F.round(F.sum("v"), 2).alias("total"))
 
 
+@q("agg_histogram", """
+SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+""")
+def agg_histogram(spark, sf):
+    """Fixed-width histogram binning (profiling staple): bin id is a
+    pure map-side expression, so the whole histogram is one
+    map-side-combinable agg — bins × partials shuffle, never rows.
+    Frozen bin width (no data-driven min/max scan) keeps the binning a
+    single pass and the oracle arithmetic identical."""
+    o = t(spark, sf, "orders")
+    return (o.groupBy(F.floor(F.col("o_totalprice") / 25000).cast("int")
+                      .alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@q("orders_sessionize", """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         LAG(o_orderdate) OVER w AS prev_date
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+flagged AS (
+  SELECT *, CASE WHEN prev_date IS NULL
+                 OR date_diff('day', prev_date, o_orderdate) > 30
+                 THEN 1 ELSE 0 END AS new_session
+  FROM seq),
+sess AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(SUM(new_session) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT o_custkey, session_id, COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+FROM sess GROUP BY o_custkey, session_id
+""")
+def orders_sessionize(spark, sf):
+    """Gap-based sessionization (the 'islands' problem): per customer,
+    consecutive orders ≤30 days apart form one session — lag the
+    order date, flag gap starts, running-sum the flags into session
+    ids, roll up per session.  The batch twin of the streaming
+    session_window, expressed purely with windows (one hash shuffle on
+    the customer key; both windows share the partitioning so Catalyst
+    plans a single sort)."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey",
+                                      "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    flagged = o.withColumn(
+        "new_session",
+        F.when(F.lag("o_orderdate").over(w).isNull()
+               | (F.datediff("o_orderdate",
+                             F.lag("o_orderdate").over(w)) > 30), 1)
+        .otherwise(0))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sess.groupBy("o_custkey", "session_id")
+            .agg(F.count("*").alias("n_orders"),
+                 F.min("o_orderdate").alias("first_date"),
+                 F.max("o_orderdate").alias("last_date")))
+
+
+@q("window_first_last", """
+SELECT o_orderkey, o_orderpriority,
+       FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+       LAST_VALUE(o_totalprice) OVER w AS priciest,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def window_first_last(spark, sf):
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over the full-partition
+    frame (the frame-navigation trio the window family still lacked),
+    orderkey tie-broken for determinism."""
+    o = t(spark, sf, "orders")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"))
+
+
 @q("agg_approx_percentile")  # sketch internals are engine-specific → rows-only
 def agg_approx_percentile(spark, sf):
     """Approximate percentiles via Spark's GK-sketch
