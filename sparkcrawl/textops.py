@@ -2787,3 +2787,26 @@ def ann_recall_eval(spark, sf):
             .groupBy("query_id")
             .agg(hits.alias("n_hits"),
                  F.round(hits / 5.0, 6).alias("recall_at_5")))
+
+
+@q("ann_ivf_compacted", _IVF_SQL)
+def ann_ivf_compacted(spark, sf, n_cells: int = IVF_N_CELLS,
+                      n_probe: int = IVF_N_PROBE):
+    """The index-maintenance lifecycle CLOSED: after upsert commits
+    accumulate (each adds a data dir + metadata masking), ``compact``
+    rewrites the live contents as ONE snapshot — file listing and
+    mask-filter work stop growing with upsert history — and serving
+    from the compacted artifact must still equal the fresh assignment
+    (same oracle).  This is Iceberg's rewrite_data_files maintenance
+    action in the shim; at 100 TB it runs periodically per partition,
+    not per upsert."""
+    tbl = ivf_upsert_table(spark, sf, n_cells)
+    tbl.compact(spark, round_no=2)
+    m = tbl.current_manifest()
+    assert len(m["data_dirs"]) == 1, m  # history folded into one dir
+    e = t(spark, sf, "embeddings")
+    probe = _ivf_probes(e, n_cells, n_probe)
+    cells = sorted({r["cell"] for r in probe.select("cell").distinct()
+                    .collect()})
+    idx = tbl.read(spark).filter(F.col("cell").isin(cells))
+    return _serve_from_index(probe, idx)

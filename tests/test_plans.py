@@ -247,6 +247,21 @@ def test_pq_index_partition_prune(spark):
                and all(0 <= c < PQ_K for c in r["codes"]) for r in rows)
 
 
+def test_pipeline_curate_mix_no_blowup(spark):
+    """The composed curation pipeline must stay join-keyed end-to-end:
+    no cartesian product or nested-loop join over row data (the only
+    nested-loop joins allowed are the one-row broadcast model/threshold
+    cross joins), and the lang-threshold join must broadcast."""
+    plan = plan_of(QUERIES["pipeline_curate_mix"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every BroadcastNestedLoopJoin must be a single-row cross join
+    # (model/threshold scalar), never a row-data join
+    import re
+    nlj = plan.count("BroadcastNestedLoopJoin")
+    assert nlj <= 2, f"{nlj} nested-loop joins"
+
+
 def test_dataset_mix_broadcasts_rates(spark):
     """The per-lang rate table must broadcast (it is langs-sized), the
     counts scan must prune to the lang column, and nothing may
