@@ -53,13 +53,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-5 window (slots 1-50, asserted by tests/test_entry_rotation.py):
 #   1-18  the 18 queries whose newest evidence is r02 (3 rounds stale —
 #         the oldest anywhere; VERDICT r4 task 1),
-#  19-36  the 18 round-5 additions (never evaluated),
-#  37-44  queries whose code or oracle text changed this round
+#  19-37  the 19 round-5 additions (never evaluated),
+#  38-45  queries whose code or oracle text changed this round
 #         (events_funnel broadcast fix; quality/decon oracle-CTE
 #         factoring; the _ivf_tail_sql/_ivf_asg_probe_ctes refactor
 #         touching every IVF/k-means oracle string),
-#  45-50  6 oldest-evidence (r03) fills, highest-traffic ops first.
-# Past slot 50: the remaining 33 r03-aged queries (simple relational/
+#  46-50  5 oldest-evidence (r03) fills, highest-traffic ops first.
+# Past slot 50: the remaining 34 r03-aged queries (simple relational/
 # streaming ops, each with a dedicated local oracle test), then the
 # r04-evidenced rest.
 _PRIORITY = [
@@ -79,7 +79,7 @@ _PRIORITY = [
     "ann_recall_eval", "graph_triangle_count",
     "window_ntile_cume", "unpivot_metrics",
     "agg_histogram", "orders_sessionize", "window_first_last",
-    "ann_ivf_compacted",
+    "ann_ivf_compacted", "events_resample_ffill",
     # -- code/oracle changed in round 5: refresh their evidence --
     "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
     "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
@@ -87,9 +87,9 @@ _PRIORITY = [
     # -- oldest remaining evidence (r03): highest-traffic ops first --
     "dedup_cluster_cc", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_semantic_clusters",
-    "dedup_lines_boilerplate",
     # ---- slot-50 boundary: everything below falls outside the driver
     #      window this round ----
+    "dedup_lines_boilerplate",
     "graph_pagerank",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
     "text_chunk_split", "text_model_score", "text_repetition_filter",

@@ -858,6 +858,71 @@ def window_first_last(spark, sf):
         F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"))
 
 
+@q("events_resample_ffill", """
+WITH ev AS (
+  SELECT user_id, ts, value, event_id FROM events
+  WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'),
+hourly AS (
+  SELECT user_id, hr, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS hr, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1),
+span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+         FROM hourly GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                AS hr
+         FROM span),
+joined AS (
+  SELECT g.user_id, g.hr, h.value,
+         CASE WHEN h.value IS NULL THEN 1 ELSE 0 END AS is_gap
+  FROM grid g LEFT JOIN hourly h
+    ON h.user_id = g.user_id AND h.hr = g.hr)
+SELECT user_id, hr,
+       LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id
+         ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS v_ffill,
+       is_gap
+FROM joined
+""")
+def events_resample_ffill(spark, sf):
+    """Time-series resampling with forward fill (the gap-fill every
+    metrics/feature pipeline needs): per user, downsample to hourly
+    (last observation per hour, ts/event_id tie-broken), generate the
+    user's full hourly grid, and carry the last non-null observation
+    forward across gaps (LAST_VALUE IGNORE NULLS over the ordered
+    frame).  One week of events keeps the grid bounded in the demo;
+    the shape is span-agnostic.  Scale: grid generation is an in-row
+    sequence (rows = Σ user-span hours, emitted without shuffle); the
+    downsample window, the grid join, and the fill window all key on
+    user_id, so one partitioning serves all three."""
+    lo = F.lit("2024-01-08").cast("timestamp")
+    hi = F.lit("2024-01-15").cast("timestamp")
+    ev = (t(spark, sf, "events")
+          .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+          .select("user_id", "ts", "value", "event_id",
+                  F.date_trunc("hour", "ts").alias("hr")))
+    wlast = Window.partitionBy("user_id", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    hourly = (ev.withColumn("rn", F.row_number().over(wlast))
+              .filter(F.col("rn") == 1).select("user_id", "hr", "value"))
+    span = hourly.groupBy("user_id").agg(F.min("hr").alias("h0"),
+                                         F.max("hr").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+        .alias("hr"))
+    joined = (grid.join(hourly, ["user_id", "hr"], "left")
+              .withColumn("is_gap",
+                          F.when(F.col("value").isNull(), 1).otherwise(0)))
+    wf = (Window.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "user_id", "hr",
+        F.last("value", ignorenulls=True).over(wf).alias("v_ffill"),
+        "is_gap")
+
+
 @q("agg_approx_percentile")  # sketch internals are engine-specific → rows-only
 def agg_approx_percentile(spark, sf):
     """Approximate percentiles via Spark's GK-sketch

@@ -23,7 +23,7 @@ EXPECTED_FIRST_50 = [
     "window_running_sum",
     "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_approx_count_distinct",
-    # 18 new in r5
+    # 19 new in r5
     "ann_ivf_upsert", "embed_pq_codes", "ann_ivfpq_topk",
     "ann_ivfpq_indexed", "ann_ivfpq_residual", "ann_ivfpq_upsert",
     "text_bpe_token_counts", "pipeline_curate_mix",
@@ -31,15 +31,14 @@ EXPECTED_FIRST_50 = [
     "ann_recall_eval", "graph_triangle_count",
     "window_ntile_cume", "unpivot_metrics",
     "agg_histogram", "orders_sessionize", "window_first_last",
-    "ann_ivf_compacted",
+    "ann_ivf_compacted", "events_resample_ffill",
     # 8 code/oracle changed in r5
     "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
     "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
     "embed_kmeans_iter", "embed_kmeans_train",
-    # 6 r03-aged fills
+    # 5 r03-aged fills
     "dedup_cluster_cc", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_semantic_clusters",
-    "dedup_lines_boilerplate",
 ]
 
 
