@@ -157,6 +157,40 @@ def test_overwrite_partitions_rejects_stray_rows(spark, table):
         table.overwrite_partitions(stray, [0], 2)
 
 
+def test_chained_merge_upserts_then_compact(spark, table):
+    """Three successive keyed merge batches through
+    merge_upsert_partitions (updates + inserts, overlapping partitions)
+    must leave exactly the last-writer-wins contents; compact then
+    folds the accumulated history into one dir with contents intact."""
+    from sparkcrawl.textops import merge_upsert_partitions
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(k, b) for k, b in rows],
+            "vec_id long, cell int").withColumnRenamed("vec_id", "k") \
+            .selectExpr("k", "cell AS host_bucket")
+
+    table.replace(_df(spark, 0, 12), 0)  # keys 0-11, buckets k%4
+    state = {k: k % 4 for k in range(12)}
+    batches = [
+        [(1, 2), (100, 0)],            # move key 1, insert 100
+        [(100, 3), (2, 2), (101, 1)],  # re-move 100, move 2, insert 101
+        [(1, 0)],                      # move 1 again
+    ]
+    for rows in batches:
+        merge_upsert_partitions(spark, table, batch(rows),
+                                key="k", part="host_bucket")
+        state.update(dict(rows))
+    got = {r["k"]: r["host_bucket"] for r in table.read(spark).collect()}
+    assert got == state
+    # one replace + three overwrite commits accumulated 4 data dirs
+    assert len(table.current_manifest()["data_dirs"]) == 4
+    table.compact(spark, 9)
+    assert len(table.current_manifest()["data_dirs"]) == 1
+    got2 = {r["k"]: r["host_bucket"] for r in table.read(spark).collect()}
+    assert got2 == state
+
+
 def test_read_new_is_incremental(spark, table):
     """read_new(sid) scans only the files snapshot sid added — the
     round loop's read-back must not grow with table history."""
