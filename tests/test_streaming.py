@@ -102,6 +102,60 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
             == _collect_sorted(batch.select("event_id")))
 
 
+def test_watermark_drops_late_data_after_finalization(spark, tmp_path):
+    """The watermark's late-data guarantee, exercised on a true
+    multi-batch stream: once a window has been FINALIZED (watermark
+    passed its end and append-mode eviction emitted it), a late event
+    for that window is dropped — it neither changes the emitted count
+    nor re-opens the window as a duplicate output row.  (The guarantee
+    is one-sided: a late-but-pre-eviction row may still merge into
+    live state, verified while designing this test — hence the
+    three-batch arrangement that forces eviction FIRST.)"""
+    import os
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_events(name, rows, mtime):
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value", "props"])
+        df["ts"] = pd.to_datetime(df["ts"])
+        path = str(src / name)
+        # Spark's TimestampType is microseconds; pandas defaults to ns
+        df.to_parquet(path, index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.utime(path, (mtime, mtime))
+
+    # batch 0: window A (12:00) gets one event; the 20:00 event pushes
+    # the watermark to 18:00 (> window A's 13:00 close) at batch end
+    write_events("part-0.parquet",
+                 [(1, "2024-01-01 12:10:00", 1, "view", 1.0, "{}"),
+                  (2, "2024-01-01 20:00:00", 2, "view", 1.0, "{}")],
+                 mtime=1_700_000_000)
+    # batch 1: neutral event — during this batch window A is evicted
+    # and emitted with n=1
+    write_events("part-1.parquet",
+                 [(3, "2024-01-01 20:30:00", 3, "view", 1.0, "{}")],
+                 mtime=1_700_000_100)
+    # batch 2: a LATE event for the finalized window A + a fresh one
+    write_events("part-2.parquet",
+                 [(4, "2024-01-01 12:40:00", 4, "view", 1.0, "{}"),
+                  (5, "2024-01-01 20:40:00", 5, "view", 1.0, "{}")],
+                 mtime=1_700_000_200)
+
+    stream = streaming.read_event_stream(spark, str(src),
+                                         max_files_per_trigger=1)
+    streaming.run_available_now(
+        streaming.windowed_counts(stream),
+        str(tmp_path / "ckpt_late"), "late_counts", output_mode="append")
+    rows = [(r["ws"].isoformat(), r["n"])
+            for r in spark.table("late_counts").collect()
+            if r["ws"].isoformat().startswith("2024-01-01T12")]
+    # exactly ONE emission for window A, with the pre-eviction count
+    assert rows == [("2024-01-01T12:00:00", 1)], rows
+
+
 def test_stream_to_lake_atomic_idempotent(spark, tmp_path):
     """foreachBatch → Icebergish: every micro-batch lands as one atomic
     snapshot; total contents equal the batch source; draining the SAME
