@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import html as _html
 from datetime import datetime, timedelta
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 SEED = 42
@@ -151,16 +152,186 @@ def page_row(i: int, n: int, fat: int = 0) -> Tuple:
     return (page_url(i), page_warc_ts(i), page_html(i, n, fat), None, page_lang(i))
 
 
+# --- vectorized batch renderer ---------------------------------------------
+# The corpus is pure-function-of-id, so every _mix draw for a whole batch of
+# pages can be computed with numpy uint64 arithmetic in one shot instead of
+# ~300 interpreted _mix calls per page (the generator was ~40% of the timed
+# crawl probes' fetch phase — it is the test fixture's "web", not the
+# engine, so its cost is pure measurement overhead).  The scalar page_html
+# above stays as the frozen reference implementation; byte-identity of this
+# path is pinned by tests/test_corpus_batch.py against hashes computed from
+# the scalar code.
+
+_U64 = np.uint64
+_MIX_X0 = _U64((SEED * 0x9E3779B97F4A7C15) & _MASK)
+_MIX_C = _U64(0x9E3779B97F4A7C15)
+_MIX_C1 = _U64(0xBF58476D1CE4E5B9)
+_MIX_C2 = _U64(0x94D049BB133111EB)
+
+
+def _mix_vec(*vals) -> np.ndarray:
+    """Elementwise splitmix64 over broadcast uint64 arrays — vectorized
+    twin of _mix (same mixing constants, same fold order)."""
+    with np.errstate(over="ignore"):
+        arrs = [np.asarray(v, dtype=np.uint64) for v in vals]
+        x = np.broadcast_to(_MIX_X0, np.broadcast_shapes(
+            *[a.shape for a in arrs])).copy()
+        for v in np.broadcast_arrays(*arrs) if len(arrs) > 1 else arrs:
+            x = x + v + _MIX_C
+            z = (x ^ (x >> _U64(30))) * _MIX_C1
+            z = (z ^ (z >> _U64(27))) * _MIX_C2
+            x = z ^ (z >> _U64(31))
+    return x
+
+
+# styles 3/5 append query strings whose '&' html.escape would rewrite; the
+# url body itself never contains &<>"' so the escaped form is url + suffix
+_Q_TRACK = "?utm_source=feed&amp;b=2&amp;a=1"
+_Q_SORTED = "?a=1&amp;b=2"
+
+
+def _batch_page_meta(I: np.ndarray) -> tuple:
+    """(host, is_private) arrays for page-id array I — page_host/page_path
+    vectorized."""
+    r1 = _mix_vec(I, np.uint64(1))
+    host = np.where(r1 % _U64(100) < _U64(50), _U64(0),
+                    _U64(1) + r1 % _U64(N_HOSTS - 1)).astype(np.int64)
+    priv = (_mix_vec(I, np.uint64(2)) % _U64(11) == 0)
+    return host, priv
+
+
+def _page_urls_batch(I: np.ndarray) -> List[str]:
+    host, priv = _batch_page_meta(I)
+    return [f"http://host{h}.example/private/{i}" if p
+            else f"http://host{h}.example/p/{i}"
+            for i, h, p in zip(I.tolist(), host.tolist(), priv.tolist())]
+
+
+def page_htmls_batch(ids: Sequence[int], n: int, fat: int = 0) -> List[bytes]:
+    """Batch twin of page_html — byte-identical output (pinned by
+    tests/test_corpus_batch.py), one numpy pass for all _mix draws."""
+    I = np.asarray(list(ids), dtype=np.uint64)
+    if I.size == 0:
+        return []
+    P = 3 + fat
+    host_i, priv_i = _batch_page_meta(I)
+    # link targets (j is 1-based in the target formula, 0-based in the
+    # href-variant style draw — mirrors page_link_targets/_href_variant)
+    k = (_U64(2) + _mix_vec(I, np.uint64(5)) % _U64(5)).astype(np.int64)
+    jmax = int(k.max())
+    with np.errstate(over="ignore"):
+        j1 = np.arange(1, jmax + 1, dtype=np.uint64)
+        tgt = (I[:, None] * _U64(2654435761)
+               + _U64(97) * j1[None, :] + _U64(13)) % _U64(n)
+    host_t, priv_t = _batch_page_meta(tgt)
+    style = (_mix_vec(I[:, None], tgt,
+                      (j1 - _U64(1))[None, :], np.uint64(6))
+             % _U64(6)).astype(np.int64)
+    off = (_mix_vec(I, np.uint64(8)) % _U64(7)).astype(np.int64)
+    # paragraph word indices: seed s = _mix(i, 9, p); word w = _mix(s, 7, w)
+    p_idx = np.arange(P, dtype=np.uint64)
+    seeds = _mix_vec(I[:, None], np.uint64(9), p_idx[None, :])
+    w_idx = np.arange(12, dtype=np.uint64)
+    widx = (_mix_vec(seeds[:, :, None], np.uint64(7),
+                     w_idx[None, None, :])
+            % _U64(len(_WORDS))).astype(np.int64)
+    malformed = (_mix_vec(I, np.uint64(10)) % _U64(17) == 0)
+    badenc = (_mix_vec(I, np.uint64(11)) % _U64(23) == 0)
+
+    words = _WORDS
+    para_sfx = [f" &amp; entity &eacute; {p}</p>" for p in range(P)]
+    tgt_l = tgt.tolist()
+    host_t_l = host_t.tolist()
+    priv_t_l = priv_t.tolist()
+    style_l = style.tolist()
+    widx_l = widx.tolist()
+    out: List[bytes] = []
+    for b, i in enumerate(I.tolist()):
+        hi = host_i[b]
+        anchors = []
+        ht_b, pt_b, st_b, tg_b = host_t_l[b], priv_t_l[b], style_l[b], tgt_l[b]
+        for j0 in range(k[b]):
+            t = tg_b[j0]
+            ht = ht_b[j0]
+            path = f"/private/{t}" if pt_b[j0] else f"/p/{t}"
+            url = f"http://host{ht}.example{path}"
+            s = st_b[j0]
+            if s == 0:
+                href = url
+            elif s == 1:
+                href = f"http://HOST{ht}.example{path}"
+            elif s == 2:
+                href = url + "#sec2"
+            elif s == 3:
+                href = url + _Q_TRACK
+            elif s == 4:
+                href = path if ht == hi else url
+            else:
+                href = url + _Q_SORTED
+            anchors.append(f'<a href="{href}">link {j0}</a>')
+        anchors.append(anchors[0])  # duplicate link
+        anchors.append(
+            f'<a href="http://offsite{off[b]}.invalid/x{i}">off</a>')
+        anchors.append('<a href="javascript:void(0)">js</a>')
+        anchors.append('<a name="no-href">anchorless</a>')
+        wb = widx_l[b]
+        paras = [
+            "<p>" + " ".join([words[x] for x in wb[p]]) + para_sfx[p]
+            for p in range(P)
+        ]
+        parts = [
+            "<!DOCTYPE html><html><head>",
+            f"<title>Page {i} — host{hi}</title>",
+            "<style>body { color: #000; }</style>",
+            '<script>var hidden = "not text";</script>',
+            "</head><body>",
+            f"<!-- comment {i} not text -->",
+            f"<h1>Heading {i}</h1>",
+            "<div>",
+            *paras,
+            "<ul>",
+            *(f"<li>{a}</li>" for a in anchors),
+            "</ul>",
+            "</div>",
+            "<noscript>no js fallback</noscript>",
+            "</body></html>",
+        ]
+        doc = "".join(parts)
+        if malformed[b]:
+            doc = doc.replace("</body></html>", "<div><b>unclosed</i> stray")
+        raw = doc.encode("utf-8")
+        if badenc[b]:
+            raw += b"<p>latin1 caf\xe9</p>"
+        out.append(raw)
+    return out
+
+
+def page_rows_batch(ids: Sequence[int], n: int, fat: int = 0) -> List[Tuple]:
+    """Batch twin of [page_row(i) for i in ids] — same rows, one numpy
+    pass for the html and url draws (warc_ts/lang are one _mix each)."""
+    I = np.asarray(list(ids), dtype=np.uint64)
+    htmls = page_htmls_batch(I, n, fat)
+    urls = _page_urls_batch(I)
+    ts_off = (_mix_vec(I, np.uint64(4)) % _U64(365 * 86400)).astype(np.int64)
+    lang_i = (_mix_vec(I, np.uint64(3)) % _U64(len(LANGS))).astype(np.int64)
+    return [
+        (u, _EPOCH + timedelta(seconds=int(s)), h, None, LANGS[li])
+        for u, s, h, li in zip(urls, ts_off.tolist(), htmls, lang_i.tolist())
+    ]
+
+
 # --- corpus materialization -------------------------------------------------
 
 def pages_rows(n: int, fat: int = 0) -> List[Tuple]:
     """Driver-side full corpus (tiny/small scales only)."""
-    return [page_row(i, n, fat) for i in range(n)]
+    return page_rows_batch(range(n), n, fat)
 
 
 def pages_dict(n: int, fat: int = 0) -> Dict[str, bytes]:
     """url→html map — the model crawler's 'web'."""
-    return {page_url(i): page_html(i, n, fat) for i in range(n)}
+    ids = range(n)
+    return dict(zip(_page_urls_batch(np.arange(n, dtype=np.uint64)),
+                    page_htmls_batch(ids, n, fat)))
 
 
 def pages_df(spark, n: int, fat: int = 0):
@@ -169,7 +340,7 @@ def pages_df(spark, n: int, fat: int = 0):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = [page_row(int(i), n, fat) for i in batch["id"]]
+            rows = page_rows_batch(batch["id"].to_numpy(), n, fat)
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES.fields])
 
     parts = max(8, min(256, n // 2000 + 1))

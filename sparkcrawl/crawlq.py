@@ -44,6 +44,17 @@ def _doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n is None:
         n = _DOC_COUNTS[sf_dir] = d.count()
 
+    # the parquet source is a single small file at test SFs, so the scan
+    # is 1-2 splits — but every consumer of this frame runs Python work
+    # (render here, the husk UDF downstream) whose cost is per ROW, not
+    # per byte.  Spread the rows over the session's cores before the
+    # Python boundary (guide §4: the scan can't see the downstream UDF
+    # cost); size-adaptive: ≥200 rows per task, capped at 2× parallelism
+    # so big corpora don't fragment.
+    parts = max(1, min(n // 200 + 1, 2 * spark.sparkContext.defaultParallelism))
+    if parts > 1:
+        d = d.repartition(parts)
+
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame({

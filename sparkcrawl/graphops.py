@@ -26,6 +26,41 @@ from .textops import _LSH_PAIRS_SQL, dedup_minhash_lsh_pairs
 
 CC_MAX_ITERS = 25  # loud failure beats silent wrong clusters
 
+# Iterative-state shuffle sizing (guide §2.2/§6): the per-iteration state
+# of these algorithms is one row per node — at test SFs that is a few
+# thousand rows, for which the session's shuffle-partition count (sized
+# for corpus-wide scans) schedules ~64 near-empty tasks per stage, and
+# task-scheduling latency dominates every round.  Partitions are derived
+# from the STATE size (target ~20k rows per task), never raised above the
+# session's configured count, so a 10^10-node run keeps its full
+# parallelism and a 5k-node run stops paying 64× scheduling overhead.
+_ITER_ROWS_PER_PART = 20_000
+
+
+def _iter_parts(spark, n_rows: int) -> int:
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(configured, n_rows // _ITER_ROWS_PER_PART + 1))
+
+
+class _iter_shuffle:
+    """Scoped spark.sql.shuffle.partitions override for a driver-side
+    iteration loop.  Only jobs RUN inside the scope see it (lazy plans
+    returned to the caller execute under the restored session conf), so
+    every use below materializes its loop state eagerly in-scope."""
+
+    def __init__(self, spark, n_rows: int) -> None:
+        self.spark = spark
+        self.parts = _iter_parts(spark, n_rows)
+
+    def __enter__(self):
+        self._saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -44,25 +79,33 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     a change-count join.  Lineage is truncated every round
     (localCheckpoint); on a real cluster point checkpoints at durable
     storage for fault tolerance past executor loss."""
+    spark = nodes.sparkSession
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # one job for both loop constants: the convergence witness AND the
+    # state size that sizes the iteration shuffles
+    first = labels.agg(F.sum("cluster_id").alias("s"),
+                       F.count("*").alias("n")).collect()[0]
+    prev_sum, n_nodes = first["s"], first["n"]
     edges = edges.persist()
     try:
-        for _ in range(max_iters):
-            nbr = (edges.join(labels,
-                              edges["src"] == labels["doc_id"])
-                   .groupBy("dst").agg(F.min("cluster_id").alias("nbr_min")))
-            labels = (labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
-                      .select(labels["doc_id"],
-                              F.least("cluster_id",
-                                      F.coalesce("nbr_min", "cluster_id"))
-                              .alias("cluster_id")))
-            labels = labels.localCheckpoint(eager=True)
-            cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-            if cur_sum == prev_sum:
-                return labels
-            prev_sum = cur_sum
+        with _iter_shuffle(spark, n_nodes):
+            for _ in range(max_iters):
+                nbr = (edges.join(labels,
+                                  edges["src"] == labels["doc_id"])
+                       .groupBy("dst")
+                       .agg(F.min("cluster_id").alias("nbr_min")))
+                labels = (labels.join(nbr, labels["doc_id"] == nbr["dst"],
+                                      "left")
+                          .select(labels["doc_id"],
+                                  F.least("cluster_id",
+                                          F.coalesce("nbr_min", "cluster_id"))
+                                  .alias("cluster_id")))
+                labels = labels.localCheckpoint(eager=True)
+                cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+                if cur_sum == prev_sum:
+                    return labels
+                prev_sum = cur_sum
     finally:
         edges.unpersist()
     raise RuntimeError(
@@ -111,6 +154,7 @@ def dedup_cluster_cc(spark, sf):
 
 PR_DAMPING = 0.85
 PR_ITERS = 3  # frozen: the oracle unrolls exactly this many rounds
+PR_CKPT_EVERY = 8  # lineage-truncation cadence for long runs (plan-depth cap)
 
 # every doc has 1 + doc_id % 3 outlinks (corpus arithmetic), so there are
 # no dangling nodes and no dangling-mass redistribution term.  The edge
@@ -176,18 +220,29 @@ def graph_pagerank(spark, sf, iters: int = PR_ITERS):
     deg = edges.groupBy("src").agg(F.count("*").alias("k"))
     edges_deg = edges.join(deg, "src").persist()
     try:
-        ranks = docs.select(F.col("doc_id").alias("v"),
-                            F.lit(1.0 / n).alias("pr"))
-        for _ in range(iters):
-            contrib = (edges_deg.join(ranks, edges_deg["src"] == ranks["v"])
-                       .groupBy("dst")
-                       .agg(F.sum(F.col("pr") / F.col("k")).alias("c")))
-            ranks = (docs.join(contrib, docs["doc_id"] == contrib["dst"],
-                               "left")
-                     .select(F.col("doc_id").alias("v"),
-                             (F.lit(0.15 / n)
-                              + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
-                              ).alias("pr")))
+        with _iter_shuffle(spark, n):
+            ranks = docs.select(F.col("doc_id").alias("v"),
+                                F.lit(1.0 / n).alias("pr"))
+            for it in range(iters):
+                contrib = (edges_deg.join(ranks,
+                                          edges_deg["src"] == ranks["v"])
+                           .groupBy("dst")
+                           .agg(F.sum(F.col("pr") / F.col("k")).alias("c")))
+                ranks = (docs.join(contrib,
+                                   docs["doc_id"] == contrib["dst"], "left")
+                         .select(F.col("doc_id").alias("v"),
+                                 (F.lit(0.15 / n)
+                                  + F.lit(PR_DAMPING)
+                                  * F.coalesce("c", F.lit(0.0))).alias("pr")))
+                # no convergence witness in the fixed-depth unroll, so
+                # iterations CHAIN lazily into one job — a checkpoint per
+                # round was one extra materialization job each (measured
+                # ~1s/round of pure scheduling at test SF); truncate only
+                # every PR_CKPT_EVERY rounds to bound plan depth at scale
+                if (it + 1) % PR_CKPT_EVERY == 0 and it + 1 < iters:
+                    ranks = ranks.localCheckpoint(eager=True)
+            # materialize the final state IN-scope (the tuned shuffle conf
+            # doesn't apply to jobs run after restore)
             ranks = ranks.localCheckpoint(eager=True)
         return ranks.select(F.col("v").alias("doc_id"),
                             F.round("pr", 8).alias("pagerank"))
@@ -300,21 +355,28 @@ def graph_hits(spark, sf, iters: int = HITS_ITERS):
                      .cast("long").alias("dst"))
              .persist())
     try:
+        from .crawlq import _DOC_COUNTS
+        n_docs = _DOC_COUNTS.get(sf) or docs.count()
         hub = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("h"))
         auth = None
-        for _ in range(iters):
-            inc = (edges.join(hub, edges["src"] == hub["v"])
-                   .groupBy("dst").agg(F.sum("h").alias("s")))
-            auth = (docs.join(inc, docs["doc_id"] == inc["dst"], "left")
-                    .select(F.col("doc_id").alias("v"),
-                            F.coalesce("s", F.lit(0.0)).alias("a"))
-                    .localCheckpoint(eager=True))
-            out = (edges.join(auth, edges["dst"] == auth["v"])
-                   .groupBy("src").agg(F.sum("a").alias("s")))
-            hub = (docs.join(out, docs["doc_id"] == out["src"], "left")
-                   .select(F.col("doc_id").alias("v"),
-                           F.coalesce("s", F.lit(0.0)).alias("h"))
-                   .localCheckpoint(eager=True))
+        # checkpoints stay per half-round (auth feeds BOTH the next
+        # half-round and the final join — without materialization its
+        # subtree would execute twice), but they run under the
+        # state-sized shuffle scope (see _iter_shuffle)
+        with _iter_shuffle(spark, n_docs):
+            for _ in range(iters):
+                inc = (edges.join(hub, edges["src"] == hub["v"])
+                       .groupBy("dst").agg(F.sum("h").alias("s")))
+                auth = (docs.join(inc, docs["doc_id"] == inc["dst"], "left")
+                        .select(F.col("doc_id").alias("v"),
+                                F.coalesce("s", F.lit(0.0)).alias("a"))
+                        .localCheckpoint(eager=True))
+                out = (edges.join(auth, edges["dst"] == auth["v"])
+                       .groupBy("src").agg(F.sum("a").alias("s")))
+                hub = (docs.join(out, docs["doc_id"] == out["src"], "left")
+                       .select(F.col("doc_id").alias("v"),
+                               F.coalesce("s", F.lit(0.0)).alias("h"))
+                       .localCheckpoint(eager=True))
         hub2 = hub.select(F.col("v").alias("v2"), "h")
         return (auth.join(hub2, auth["v"] == hub2["v2"])
                 .select(F.col("v").alias("doc_id"),
@@ -369,19 +431,23 @@ def graph_bfs_depth(spark, sf, horizon: int = BFS_HORIZON):
             "doc_id",
             F.when(F.col("doc_id") < BFS_SEEDS, 0).otherwise(big)
             .alias("d")).localCheckpoint(eager=True)
-        prev_sum = depth.agg(F.sum("d")).collect()[0][0]
-        for _ in range(horizon):
-            nbr = (edges.join(depth, edges["src"] == depth["doc_id"])
-                   .groupBy("dst").agg(F.min(F.col("d") + 1).alias("nd")))
-            depth = (depth.join(nbr, depth["doc_id"] == nbr["dst"], "left")
-                     .select(depth["doc_id"],
-                             F.least("d", F.coalesce("nd", F.col("d")))
-                             .alias("d")))
-            depth = depth.localCheckpoint(eager=True)
-            cur_sum = depth.agg(F.sum("d")).collect()[0][0]
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
+        first = depth.agg(F.sum("d").alias("s"),
+                          F.count("*").alias("n")).collect()[0]
+        prev_sum, n_docs = first["s"], first["n"]
+        with _iter_shuffle(spark, n_docs):
+            for _ in range(horizon):
+                nbr = (edges.join(depth, edges["src"] == depth["doc_id"])
+                       .groupBy("dst").agg(F.min(F.col("d") + 1).alias("nd")))
+                depth = (depth.join(nbr, depth["doc_id"] == nbr["dst"],
+                                    "left")
+                         .select(depth["doc_id"],
+                                 F.least("d", F.coalesce("nd", F.col("d")))
+                                 .alias("d")))
+                depth = depth.localCheckpoint(eager=True)
+                cur_sum = depth.agg(F.sum("d")).collect()[0][0]
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
         return depth.select(
             "doc_id",
             F.when(F.col("d") >= big, -1).otherwise(F.col("d"))

@@ -116,21 +116,35 @@ _SIG_SQL = f"""
 """
 
 
+def _minhash_sig_wide(spark, sf):
+    """(doc_id, mh0..mh7): all K=8 permutation minima in ONE
+    groupBy(doc_id) — the K-permutation CROSS JOIN the oracle states
+    would multiply every shingle row K× before the partial min; K agg
+    expressions over the un-multiplied rows compute the same minima with
+    1/K the aggregated rows and one shuffle keyed on doc_id alone
+    (measured ~2× on the LSH chain, guide §2.3 'aggregate before you
+    shuffle')."""
+    tri = _trigrams(t(spark, sf, "documents"))
+    return tri.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.encode(
+            F.concat_ws("|", F.lit(str(p)), "g"), "UTF-8"))).alias(f"mh{p}")
+        for p in range(8)])
+
+
 @q("dedup_minhash_signatures", f"""
 SELECT doc_id, p, mh FROM ({_SIG_SQL})
 """)
 def dedup_minhash_signatures(spark, sf):
     """MinHash: K=8 permutations emulated as min(md5(p || shingle)) per
-    doc — one explode + one groupBy (map-side partial min).  100 TB note:
+    doc — one wide groupBy (map-side partial min, see _minhash_sig_wide)
+    unpivoted in-row to the long (doc_id, p, mh) form.  100 TB note:
     shingling explodes ~n_words rows/doc; the min() combines map-side so
-    the shuffle carries only K rows per doc."""
-    tri = _trigrams(t(spark, sf, "documents"))
-    perms = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p")
-    return (tri.select("doc_id", "g", perms)
-            .groupBy("doc_id", "p")
-            .agg(F.min(F.md5(F.encode(
-                F.concat_ws("|", F.col("p").cast("string"), "g"),
-                "UTF-8"))).alias("mh")))
+    the shuffle carries only K values per doc."""
+    wide = _minhash_sig_wide(spark, sf)
+    return (wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"mh{p}") for p in range(8)]))
+        .alias("p", "mh")))
 
 
 _BANDS_SQL = f"""
@@ -143,18 +157,18 @@ _BANDS_SQL = f"""
 
 
 def _minhash_bands(spark, sf) -> DataFrame:
-    """(doc_id, band, bh): LSH band hashes (4 bands × 2 rows)."""
-    sig = dedup_minhash_signatures(spark, sf)
-    return (
-        sig.withColumn("band", (F.col("p") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.encode(F.concat_ws(
-            "", F.concat(F.col("band").cast("string"), F.lit(":")),
-            F.min(F.when(F.col("p") % 2 == 0, F.col("mh"))),
-            F.lit("|"),
-            F.min(F.when(F.col("p") % 2 == 1, F.col("mh")))), "UTF-8"))
-            .alias("bh"))
-    )
+    """(doc_id, band, bh): LSH band hashes (4 bands × 2 rows).  Band
+    hashes are a pure in-row function of the wide signature (band b =
+    md5(b ':' mh_{2b} '|' mh_{2b+1})), so the whole sig→bands step costs
+    zero additional shuffles (the r5 version re-grouped the long-form
+    signatures on (doc_id, band) — a second exchange for rows that were
+    already co-resident)."""
+    wide = _minhash_sig_wide(spark, sf)
+    bhs = [F.md5(F.encode(F.concat_ws(
+        "", F.lit(f"{b}:"), F.col(f"mh{2 * b}"), F.lit("|"),
+        F.col(f"mh{2 * b + 1}")), "UTF-8")) for b in range(4)]
+    return (wide.select(
+        "doc_id", F.posexplode(F.array(*bhs)).alias("band", "bh")))
 
 
 LSH_BUCKET_CAP = 2000  # per-(band,bh) membership cap (deterministic: lowest doc_ids)
