@@ -1680,8 +1680,10 @@ def embed_kmeans_train(spark, sf, n_cells: int = IVF_N_CELLS,
     cents = _ivf_centroids(e, n_cells)
     movements = []
     for _ in range(n_iters - 1):
-        new = _kmeans_update(e, cents).localCheckpoint(eager=True)
         if tol > 0:
+            # the movement witness reads each round's centroids twice
+            # (old vs new) — materialize per round
+            new = _kmeans_update(e, cents).localCheckpoint(eager=True)
             mv = (cents.select("cid", F.col("ce").alias("ce_old"))
                   .join(new.select("cid", F.col("ce").alias("ce_new")), "cid")
                   .select(F.aggregate(
@@ -1695,7 +1697,12 @@ def embed_kmeans_train(spark, sf, n_cells: int = IVF_N_CELLS,
             if mv <= tol:
                 break
         else:
-            cents = new
+            # fixed unroll (the registered query): no witness reads the
+            # intermediate centroids, so the rounds CHAIN lazily into the
+            # final aggregation's one job — a localCheckpoint per round
+            # was one scheduling-bound materialization job each (the
+            # graphops PR_CKPT_EVERY argument; depth is n_iters, bounded)
+            cents = _kmeans_update(e, cents)
     if stats is not None:
         stats["movements"] = movements
         stats["n_updates"] = len(movements) if tol > 0 else n_iters - 1
@@ -1718,8 +1725,12 @@ def kmeans_centroid_table(spark, sf, n_cells: int = IVF_N_CELLS,
     e = t(spark, sf, "embeddings").select("vec_id", "embedding")
     cents = _ivf_centroids(e, n_cells)
     for _ in range(n_updates):
-        cents = _kmeans_update(e, cents).localCheckpoint(eager=True)
-    return cents
+        cents = _kmeans_update(e, cents)
+    # ONE materialization of the final artifact (instead of one per
+    # round): downstream serve paths broadcast this table more than once,
+    # and an unmaterialized chain would re-run every training round per
+    # broadcast build
+    return cents.localCheckpoint(eager=True)
 
 
 @q("ann_ivf_trained",
@@ -2515,29 +2526,64 @@ BPE_VOCAB = (
 BPE_MAXW = 16   # ≥ the corpus's max word length (oracle position bound)
 
 
-def _bpe_vocab_row(spark):
-    """The tokenizer model on ONE broadcast row (array<string>, sorted) —
-    the _centroid_row pattern: never literal arrays (a real vocab is
-    10⁴–10⁵ pieces; codegen literals would blow up), never a driver
-    rebuild."""
-    vdf = spark.createDataFrame([(p,) for p in BPE_VOCAB], "p string")
-    return F.broadcast(vdf.agg(F.sort_array(F.collect_list("p"))
-                               .alias("_vocab")))
+_BPE_MAXP = max(len(p) for p in BPE_VOCAB)  # longest piece (probe bound)
 
 
-def _bpe_word_ntok(w):
+def _bpe_vocab_row(spark, vocab=BPE_VOCAB):
+    """The tokenizer model on ONE broadcast row as a BUCKETED map
+    (first char + piece length → sorted piece array) — the _centroid_row
+    pattern: never literal arrays (a real vocab is 10⁴–10⁵ pieces;
+    codegen literals would blow up), never a driver rebuild.  Why this
+    shape: Catalyst has no hashed in-row lookup (MapType element_at is a
+    linear key scan, and per-element HOF lambdas evaluate interpreted),
+    so the fast primitives are the NATIVE linear loops GetMapValue and
+    array_contains.  Bucketing bounds the map at ≤ alphabet × maxp
+    entries and each bucket at the pieces sharing (first char, length) —
+    both independent of total vocab size."""
+    assert vocab, "empty BPE vocab"
+    vdf = spark.createDataFrame([(p,) for p in vocab], "p string")
+    buckets = (vdf.select(
+        F.concat(F.substring("p", 1, 1), F.length("p").cast("string"))
+        .alias("k"), "p")
+        .groupBy("k").agg(F.sort_array(F.collect_list("p")).alias("ps")))
+    return F.broadcast(buckets.agg(
+        F.map_from_entries(F.sort_array(F.collect_list(
+            F.struct("k", "ps")))).alias("_vbkt")))
+
+
+def _bpe_word_ntok(w, maxp: int = _BPE_MAXP):
     """Token count of one word under greedy longest-match against the
-    broadcast ``_vocab`` array: fold over character positions carrying
-    (pos, n) state; each step consumes the LONGEST matching piece
-    (fallback: one char).  Runs entirely in-row (nested higher-order
-    functions, codegen) — per word the fold does ≤ len(w) steps of a
-    |vocab|-wide match scan."""
+    broadcast ``_vbkt`` bucketed vocab: fold over character positions
+    carrying (pos, n) state; each step consumes the LONGEST matching
+    piece (fallback: one char).  Runs entirely in-row; per position the
+    match probes ≤ maxp−1 buckets (native map-key scan bounded by
+    alphabet × maxp, then array_contains over the handful of pieces
+    sharing first char AND length) — effectively flat in vocab size
+    (the r5 version scanned the whole vocab array per position: fine at
+    the 42-piece demo vocab, a ~10³× constant at a real 10⁴–10⁵-piece
+    one; near-flat cost is pinned by test_bpe_vocab_scale_sublinear)."""
+    maxp = max(2, maxp)
+
     def step(acc, _):
-        matches = F.filter(
-            F.col("_vocab"),
-            lambda p: w.substr(acc["pos"], F.length(p)) == p)
-        best = F.coalesce(F.array_max(F.transform(matches, F.length)),
-                          F.lit(1))
+        # candidate piece lengths at this position: L matches iff the
+        # L-char substring is in its (first char, L) bucket (guard keeps
+        # substr exactly L chars — a truncated tail must not match a
+        # shorter piece).  Python-level L keeps the bucket-key length
+        # suffix a literal.
+        cands = F.array(*[
+            F.when(
+                (acc["pos"] + F.lit(L) <= F.length(w) + 1)
+                & F.coalesce(
+                    F.array_contains(
+                        F.element_at(
+                            F.col("_vbkt"),
+                            F.concat(w.substr(acc["pos"], F.lit(1)),
+                                     F.lit(str(L)))),
+                        w.substr(acc["pos"], F.lit(L))),
+                    F.lit(False)),
+                F.lit(L)).otherwise(F.lit(1))
+            for L in range(2, maxp + 1)])
+        best = F.array_max(cands)
         return (F.when(acc["pos"] > F.length(w), acc)
                 .otherwise(F.struct((acc["pos"] + best).alias("pos"),
                                     (acc["n"] + 1).alias("n"))))
@@ -2588,7 +2634,10 @@ def text_bpe_token_counts(spark, sf):
     segmentation via a recursive position-walk CTE (best-match table +
     join-driven recursion, aggregation-free in the recursive term).
     At 100 TB: model = one broadcast row (swap in a real trained
-    vocab), scan = narrow map; nothing changes shape."""
+    vocab), scan = narrow map; the per-position match cost is O(max
+    piece length) map probes, independent of vocab size (see
+    _bpe_word_ntok), so a 10⁵-piece vocab changes neither the shape nor
+    the constant."""
     d = t(spark, sf, "documents").select("doc_id", "text")
     words = F.split("text", " ")
     total = F.aggregate(

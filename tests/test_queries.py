@@ -289,6 +289,78 @@ def test_bpe_greedy_segmentation_known_words(spark):
                    "": 0}, got
 
 
+def test_bpe_vocab_scale_sublinear(spark):
+    """The greedy matcher probes a piece MAP with ≤ max-piece-length
+    lookups per position, so per-doc cost must be near-FLAT in vocab
+    size (the r5 array scan was linear: a 119× bigger vocab meant ~119×
+    the innermost loop).  Run the same corpus fold under the 42-piece
+    demo vocab and a 5,000-piece synthetic vocab and bound the
+    wall-time ratio; also re-verify greedy correctness against the
+    pure-Python reference under the big vocab."""
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.registry import t as _t
+    from sparkcrawl.textops import BPE_VOCAB, _bpe_vocab_row, _bpe_word_ntok
+
+    rng = random.Random(9)
+    big = set(BPE_VOCAB)
+    while len(big) < 5000:
+        big.add("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                        for _ in range(rng.randint(2, 8))))
+    big = sorted(big)
+    maxp_big = max(len(p) for p in big)
+
+    def corpus_fold(vocab, maxp):
+        d = _t(spark, SF, "documents").select("doc_id", "text")
+        words = F.split("text", " ")
+        total = F.aggregate(
+            words, F.lit(0).cast("bigint"),
+            lambda acc, w: acc + _bpe_word_ntok(w, maxp).cast("bigint"))
+        (d.crossJoin(_bpe_vocab_row(spark, vocab))
+         .select("doc_id", total.alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
+    corpus_fold(BPE_VOCAB, max(len(p) for p in BPE_VOCAB))  # warm
+    t0 = time.time()
+    corpus_fold(BPE_VOCAB, max(len(p) for p in BPE_VOCAB))
+    t_small = time.time() - t0
+    t0 = time.time()
+    corpus_fold(big, maxp_big)
+    t_big = time.time() - t0
+    # 119× the vocab; allow generous noise+maxp headroom, never ~119×
+    assert t_big <= 3.0 * t_small + 1.0, (t_small, t_big)
+
+    # correctness under the big vocab (greedy longest-match reference)
+    bigset = set(big)
+
+    def py_ntok(w):
+        pos, n = 0, 0
+        while pos < len(w):
+            best = 1
+            for L in range(min(maxp_big, len(w) - pos), 1, -1):
+                if w[pos:pos + L] in bigset:
+                    best = L
+                    break
+            pos += best
+            n += 1
+        return n
+
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(1, 14)))
+             for _ in range(150)] + [big[7] + big[4242] + "q", ""]
+    df = spark.createDataFrame(list(enumerate(words)), "i long, w string")
+    got = {r["i"]: r["n"] for r in
+           df.crossJoin(_bpe_vocab_row(spark, big))
+           .select("i", _bpe_word_ntok(F.col("w"), maxp_big).alias("n"))
+           .collect()}
+    bad = [(words[i], got[i], py_ntok(words[i]))
+           for i in range(len(words)) if got[i] != py_ntok(words[i])]
+    assert not bad, bad[:5]
+
+
 def test_pq_training_reduces_quantization_error(spark):
     """One k-means update over each subspace must cut total quantization
     error well below the seed codebooks (measured 611→421 on sf0.001 —
