@@ -91,14 +91,40 @@ class IcebergishTable:
         sid = (parent["snapshot_id"] + 1) if parent else 0
         data_dir = self._write_snapshot(df, sid)
         dirs = (parent["data_dirs"] if parent else []) + [data_dir]
-        self._commit({
+        manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"] if parent else None,
             "round": round_no,
             "mode": "append",
             "data_dirs": dirs,
             "ts": time.time(),
-        })
+        }
+        # carry the parent's partition-overwrite map forward: an append
+        # after overwrite_partitions must keep masking the overwritten
+        # values in older dirs, or their dead rows resurface on read
+        if parent and parent.get("overwrites"):
+            manifest["overwrites"] = dict(parent["overwrites"])
+        self._commit(manifest)
+        return sid
+
+    def commit_empty(self, round_no: int) -> int:
+        """Append NOTHING: a metadata-only commit (no Spark job, no data
+        dir) so init can establish a table's round-0 snapshot without
+        paying a full write job for an empty DataFrame.  read()/read_new()
+        see the same contents as an append of zero rows."""
+        parent = self.current_manifest()
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent["snapshot_id"] if parent else None,
+            "round": round_no,
+            "mode": "append",
+            "data_dirs": list(parent["data_dirs"]) if parent else [],
+            "ts": time.time(),
+        }
+        if parent and parent.get("overwrites"):
+            manifest["overwrites"] = dict(parent["overwrites"])
+        self._commit(manifest)
         return sid
 
     def replace(self, df: DataFrame, round_no: int) -> int:
@@ -131,15 +157,30 @@ class IcebergishTable:
         rows whose partition column is in ``values`` (enforced)."""
         if not self.partition_by:
             raise ValueError("overwrite_partitions requires a partitioned table")
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
-        stray = df.filter(~F.col(self.partition_by).isin(values)).count()
-        if stray:
-            raise ValueError(
-                f"{stray} rows fall outside the declared overwrite "
-                f"partitions {values}")
+        # declared-partitions guard, folded into the write pass via
+        # observe() (a separate count() was one extra full action per
+        # commit).  NULL partition values are stray too: isin() is NULL
+        # for them, they'd land in __HIVE_DEFAULT_PARTITION__ and later
+        # overwrites' isin masking would never kill them — last-writer-
+        # wins would silently break for that bucket.
+        stray_cond = (F.col(self.partition_by).isNull()
+                      | ~F.col(self.partition_by).isin(values))
+        obs = Observation()
+        df = df.observe(
+            obs, F.sum(F.when(stray_cond, 1).otherwise(0)).alias("stray"))
         parent = self.current_manifest()
         sid = (parent["snapshot_id"] + 1) if parent else 0
         data_dir = self._write_snapshot(df, sid)
+        stray = obs.get["stray"] or 0
+        if stray:
+            # the snapshot dir was written but never committed — remove
+            # it so the failed commit leaves no unreachable data
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ValueError(
+                f"{stray} rows fall outside the declared overwrite "
+                f"partitions {values}")
         dirs = (parent["data_dirs"] if parent else []) + [data_dir]
         overwrites = dict(parent.get("overwrites", {})) if parent else {}
         overwrites[data_dir] = sorted(values)

@@ -1992,11 +1992,14 @@ def merge_upsert_partitions(spark, tbl, batch, key: str = "vec_id",
     collects); merged rows = current affected-partition rows minus
     batch keys + the batch; ONE overwrite_partitions commit.  Returns
     the affected partition values."""
-    new_parts = {r[part] for r in batch.select(part).distinct().collect()}
-    old_parts = {r[part] for r in
-                 tbl.read(spark).join(batch.select(key), key, "semi")
-                 .select(part).distinct().collect()}
-    affected = sorted(new_parts | old_parts)
+    # one metadata job for both sides of the union (was two collects):
+    # the batch's target partitions ∪ the partitions its keys sit in now
+    affected = sorted({r[part] for r in
+                       batch.select(part)
+                       .unionByName(tbl.read(spark)
+                                    .join(batch.select(key), key, "semi")
+                                    .select(part))
+                       .distinct().collect()})
     survivors = (tbl.read(spark).filter(F.col(part).isin(affected))
                  .join(batch.select(key), key, "left_anti"))
     tbl.overwrite_partitions(survivors.unionByName(batch), affected,

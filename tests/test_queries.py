@@ -289,6 +289,24 @@ def test_bpe_greedy_segmentation_known_words(spark):
                    "": 0}, got
 
 
+def test_bpe_oracle_position_bound_holds(spark):
+    """The BPE oracle's position grid stops at BPE_MAXW: a corpus word
+    longer than that would silently VANISH from the oracle's recursive
+    walk (no bests rows past position BPE_MAXW) while the Spark fold
+    counts it — assert the bound so a corpus change fails loudly here
+    instead of as a confusing red driver row."""
+    from pyspark.sql import functions as F
+
+    from sparkcrawl.registry import t as _t
+    from sparkcrawl.textops import BPE_MAXW
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        longest = (_t(spark, sf, "documents")
+                   .select(F.explode(F.split("text", " ")).alias("w"))
+                   .agg(F.max(F.length("w"))).first()[0])
+        assert longest <= BPE_MAXW, (sf, longest)
+
+
 def test_bpe_vocab_scale_sublinear(spark):
     """The greedy matcher probes a piece MAP with ≤ max-piece-length
     lookups per position, so per-doc cost must be near-FLAT in vocab

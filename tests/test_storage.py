@@ -155,6 +155,34 @@ def test_overwrite_partitions_rejects_stray_rows(spark, table):
     stray = spark.createDataFrame([(900, 0), (901, 3)], SCHEMA)
     with pytest.raises(ValueError, match="outside the declared"):
         table.overwrite_partitions(stray, [0], 2)
+    # a failed guard must not leak an uncommitted snapshot dir
+    assert table.current_snapshot_id() == 0
+    assert table.read(spark).count() == 8
+
+
+def test_overwrite_partitions_rejects_null_partition(spark, table):
+    """NULL partition values bypass isin() masking (isin is NULL for
+    them), so they must be stray: admitted they'd land in the Hive
+    default partition and later overwrites could never kill them."""
+    table.append(_df(spark, 0, 8), 1)
+    nullrow = spark.createDataFrame([(900, 0), (901, None)], SCHEMA)
+    with pytest.raises(ValueError, match="outside the declared"):
+        table.overwrite_partitions(nullrow, [0], 2)
+
+
+def test_append_after_overwrite_keeps_masked_rows_dead(spark, table):
+    """append() must carry the parent's overwrites map forward: rows of
+    an overwritten partition that live in OLDER dirs stay masked after a
+    subsequent plain append (the primitives compose — crawl appends over
+    upserted tables)."""
+    table.append(_df(spark, 0, 40), 1)          # buckets 0..3, 10 each
+    repl = spark.createDataFrame([(500, 2)], SCHEMA)
+    table.overwrite_partitions(repl, [2], 2)    # bucket 2 := {500}
+    table.append(spark.createDataFrame([(600, 0)], SCHEMA), 3)
+    got = sorted(r["k"] for r in table.read(spark)
+                 .filter(F.col("host_bucket") == 2).collect())
+    assert got == [500], f"masked bucket-2 rows resurfaced: {got}"
+    assert table.read(spark).count() == 32      # 30 in 0/1/3 + 500 + 600
 
 
 def test_chained_merge_upserts_then_compact(spark, table):
