@@ -70,6 +70,23 @@ class CrawlEngine:
         self.workdir = workdir
         self.pages = pages
         self.robots = robots
+        # The join fetcher scans the pages side EVERY round.  When that
+        # side is a derived/generated frame (any Python-eval node in its
+        # plan — e.g. the synthetic-web generator), each round would
+        # re-run the derivation for the whole corpus; snapshot it once
+        # as parquet under the workdir so rounds re-SCAN instead of
+        # re-derive (columnar, ~25× smaller than the rendered bytes).
+        # A pages table that is already a plain file scan is left alone.
+        self._pages_snapshot_bytes = 0
+        if fetcher == "join" and pages is not None:
+            plan = pages._jdf.queryExecution().sparkPlan().toString()
+            if "MapInPandas" in plan or "EvalPython" in plan:
+                snap = os.path.join(workdir, "pages_snapshot")
+                pages.write.mode("overwrite").parquet(snap)
+                self.pages = spark.read.parquet(snap)
+                self._pages_snapshot_bytes = sum(
+                    os.path.getsize(os.path.join(snap, f))
+                    for f in os.listdir(snap) if f.endswith(".parquet"))
         self.budget = budget_per_host
         self.n_buckets = n_buckets
         self.salt_buckets = salt_buckets
@@ -306,6 +323,33 @@ class CrawlEngine:
         finally:
             conf.set("spark.sql.shuffle.partitions", saved)
 
+    @contextmanager
+    def _pages_scan_scope(self):
+        """Scoped split sizing for the heavy fetch job: the columnar
+        pages snapshot compresses ~25× vs the rendered html, so default
+        split packing would hand the Python-heavy husk stage a handful
+        of multi-thousand-page tasks.  Size splits by snapshot bytes /
+        2×parallelism (never above the session value) so the CPU-bound
+        stage keeps the whole box busy; no-op when pages came in as a
+        regular table (its layout is the caller's business)."""
+        if not self._pages_snapshot_bytes:
+            yield
+            return
+        conf = self.spark.conf
+        saved = conf.get("spark.sql.files.maxPartitionBytes")
+        units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        s = saved.strip().lower()
+        saved_bytes = (int(s[:-1]) * units[s[-1]] if s[-1] in units
+                       else int(s))
+        target = max(1 << 20,
+                     min(saved_bytes, self._pages_snapshot_bytes
+                         // (2 * self.spark.sparkContext.defaultParallelism)))
+        conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.files.maxPartitionBytes", saved)
+
     def run_round(self) -> dict:
         with self._round_shuffle_scope(self._pending_count):
             return self._run_round_inner()
@@ -355,7 +399,8 @@ class CrawlEngine:
         else:
             fetched = fetch_and_husk(selected, self.pages,
                                      broadcast_selected=self.fetch_broadcast)
-        ext_sid = self.extracted.append(to_extracted(fetched, r), r)
+        with self._pages_scan_scope():
+            ext_sid = self.extracted.append(to_extracted(fetched, r), r)
         # column-pruned INCREMENTAL read-back of just-written files
         # (url_hash/links/n_links only — never text), shared by
         # flog/discovery/metrics; a full table read would list every
