@@ -50,20 +50,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01 verified the 50 relational+crawl ops; r2 therefore leads with the
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
-# Round-5 window (slots 1-50, asserted by tests/test_entry_rotation.py):
-#   1-18  the 18 queries whose newest evidence is r02 (3 rounds stale —
-#         the oldest anywhere; VERDICT r4 task 1),
-#  19-37  the 19 round-5 additions (never evaluated),
-#  38-45  queries whose code or oracle text changed this round
-#         (events_funnel broadcast fix; quality/decon oracle-CTE
-#         factoring; the _ivf_tail_sql/_ivf_asg_probe_ctes refactor
-#         touching every IVF/k-means oracle string),
-#  46-50  5 oldest-evidence (r03) fills, highest-traffic ops first.
-# Past slot 50: the remaining 34 r03-aged queries (simple relational/
-# streaming ops, each with a dedicated local oracle test), then the
-# r04-evidenced rest.
+# Round-6 window (slots 1-50, asserted by tests/test_entry_rotation.py).
+# Round 6 is the optimization round: results are frozen, but ~21
+# queries' PLANS changed (minhash one-pass signatures, iterative-loop
+# chaining/shuffle sizing, _doc_pages repartition, BPE bucketed vocab,
+# storage observe-guard).  Those lead the window so the driver re-proves
+# them green on the new plans; the rest of the window refreshes the
+# oldest (r03) evidence per VERDICT r5 task 2.
+#   1-21  code changed in round 6 (re-prove on the optimized plans)
+#  22-50  29 of the 31 remaining r03-aged queries
+# Past slot 50: hash_xxhash64 (rows-only; pure-python twin test) and
+# distinct_rows (trivial) stay r03-aged — the two lowest-risk rows —
+# then the r04/r05-evidenced rest.
 _PRIORITY = [
-    # -- newest evidence r02 --
+    # -- code changed in round 6 --
+    "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semantic_clusters",
+    "pipeline_curate_mix",
+    "graph_pagerank", "graph_hits", "graph_bfs_depth",
+    "graph_triangle_count", "crawl_rank_frontier",
+    "crawl_extract_text", "crawl_link_graph", "husker_scrape_fields",
+    "embed_kmeans_train", "ann_ivf_trained",
+    "text_bpe_token_counts",
+    "ann_ivf_upsert", "ann_ivfpq_upsert", "ann_ivf_compacted",
+    "icebergish_time_travel",
+    # -- oldest remaining evidence (r03) --
+    "dedup_lines_boilerplate",
+    "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
+    "text_chunk_split", "text_model_score", "text_repetition_filter",
+    "embed_centroids", "multimodal_frame_sample",
+    "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
+    "array_ops", "date_trunc_agg", "datediff_extract",
+    "explode_words", "hash_md5", "json_extract", "math_funcs",
+    "parse_url_host", "percentile_prices", "pivot_segments",
+    "regexp_ops", "session_window", "set_union_intersect_except",
+    "sliding_window", "sort_limit_topn", "string_funcs",
+    "window_range_frame",
+    # ---- slot-50 boundary: everything below falls outside the driver
+    #      window this round ----
+    "hash_xxhash64", "distinct_rows",
+    # r05-evidenced (unchanged plans)
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_broadcast_dim", "join_asof", "join_cross",
     "join_range_theta", "scalar_subquery",
@@ -71,39 +97,15 @@ _PRIORITY = [
     "window_running_sum",
     "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_approx_count_distinct",
-    # -- NEW in round 5 (no driver evidence yet) --
-    "ann_ivf_upsert", "embed_pq_codes", "ann_ivfpq_topk",
-    "ann_ivfpq_indexed", "ann_ivfpq_residual", "ann_ivfpq_upsert",
-    "text_bpe_token_counts", "pipeline_curate_mix",
-    "crawl_rank_frontier", "agg_approx_percentile",
-    "ann_recall_eval", "graph_triangle_count",
+    "embed_pq_codes", "ann_ivfpq_topk",
+    "ann_ivfpq_indexed", "ann_ivfpq_residual",
+    "agg_approx_percentile", "ann_recall_eval",
     "window_ntile_cume", "unpivot_metrics",
     "agg_histogram", "orders_sessionize", "window_first_last",
-    "ann_ivf_compacted", "events_resample_ffill",
-    # -- code/oracle changed in round 5: refresh their evidence --
+    "events_resample_ffill",
     "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
-    "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
-    "embed_kmeans_iter", "embed_kmeans_train",
-    # -- oldest remaining evidence (r03): highest-traffic ops first --
-    "dedup_cluster_cc", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_semantic_clusters",
-    # ---- slot-50 boundary: everything below falls outside the driver
-    #      window this round ----
-    "dedup_lines_boilerplate",
-    "graph_pagerank",
-    "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
-    "text_chunk_split", "text_model_score", "text_repetition_filter",
-    "embed_centroids",
-    "multimodal_frame_sample",
-    "husker_scrape_fields", "crawl_host_rollup",
-    "crawl_sitemaps", "tumbling_window",
-    "array_ops", "date_trunc_agg", "datediff_extract", "distinct_rows",
-    "explode_words", "hash_md5", "hash_xxhash64",
-    "icebergish_time_travel", "json_extract", "math_funcs",
-    "parse_url_host", "percentile_prices", "pivot_segments",
-    "regexp_ops", "session_window", "set_union_intersect_except",
-    "sliding_window", "sort_limit_topn", "string_funcs",
-    "window_range_frame",
+    "ann_ivf_topk", "ann_ivf_indexed",
+    "embed_kmeans_iter", "dedup_embedding_cosine",
 ]
 
 

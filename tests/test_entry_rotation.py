@@ -12,34 +12,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-# the round-5 window, slot by slot (kept in lockstep with _PRIORITY's
+# the round-6 window, slot by slot (kept in lockstep with _PRIORITY's
 # comment — a drift here is the bug this test exists to catch)
 EXPECTED_FIRST_50 = [
-    # 18 r02-aged
-    "join_inner", "join_left_outer", "join_full_outer", "join_semi",
-    "join_anti", "join_broadcast_dim", "join_asof", "join_cross",
-    "join_range_theta", "scalar_subquery",
-    "window_rank_topk", "window_rank_dense", "window_lag_lead",
-    "window_running_sum",
-    "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "agg_approx_count_distinct",
-    # 19 new in r5
-    "ann_ivf_upsert", "embed_pq_codes", "ann_ivfpq_topk",
-    "ann_ivfpq_indexed", "ann_ivfpq_residual", "ann_ivfpq_upsert",
-    "text_bpe_token_counts", "pipeline_curate_mix",
-    "crawl_rank_frontier", "agg_approx_percentile",
-    "ann_recall_eval", "graph_triangle_count",
-    "window_ntile_cume", "unpivot_metrics",
-    "agg_histogram", "orders_sessionize", "window_first_last",
-    "ann_ivf_compacted", "events_resample_ffill",
-    # 8 code/oracle changed in r5
-    "events_funnel", "text_quality_filter_chain", "eval_decontaminate",
-    "ann_ivf_topk", "ann_ivf_indexed", "ann_ivf_trained",
-    "embed_kmeans_iter", "embed_kmeans_train",
-    # 5 r03-aged fills
-    "dedup_cluster_cc", "dedup_minhash_lsh_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_semantic_clusters",
+    # 21 whose plans changed in the round-6 optimization pass
+    "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semantic_clusters",
+    "pipeline_curate_mix",
+    "graph_pagerank", "graph_hits", "graph_bfs_depth",
+    "graph_triangle_count", "crawl_rank_frontier",
+    "crawl_extract_text", "crawl_link_graph", "husker_scrape_fields",
+    "embed_kmeans_train", "ann_ivf_trained",
+    "text_bpe_token_counts",
+    "ann_ivf_upsert", "ann_ivfpq_upsert", "ann_ivf_compacted",
+    "icebergish_time_travel",
+    # 29 r03-aged refreshes
+    "dedup_lines_boilerplate",
+    "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
+    "text_chunk_split", "text_model_score", "text_repetition_filter",
+    "embed_centroids", "multimodal_frame_sample",
+    "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
+    "array_ops", "date_trunc_agg", "datediff_extract",
+    "explode_words", "hash_md5", "json_extract", "math_funcs",
+    "parse_url_host", "percentile_prices", "pivot_segments",
+    "regexp_ops", "session_window", "set_union_intersect_except",
+    "sliding_window", "sort_limit_topn", "string_funcs",
+    "window_range_frame",
 ]
+
+# the only r03-aged rows deliberately left outside the window (both
+# trivial / rows-only with dedicated local twins)
+ALLOWED_STALE_OUTSIDE = {"hash_xxhash64", "distinct_rows"}
 
 
 def test_first_50_slots_are_exactly_the_declared_window():
@@ -70,16 +73,17 @@ def test_readme_counts_match_registry():
 
 def test_window_leads_with_stalest_evidence():
     """Never-evaluated queries and the stalest evidence must sit inside
-    the window: nothing with r02-or-older newest evidence (per the
-    checked-in CORRECTNESS history) may fall past slot 50."""
+    the window: nothing with r03-or-older newest evidence (per the
+    checked-in CORRECTNESS history) may fall past slot 50, except the
+    two documented trivial rows."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest = {}
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
         for k in json.load(open(path)):
             newest[k] = r
     window = set(list(entry.queries())[:50])
     for name in entry.queries():
         age = newest.get(name)
-        if age is None or age <= 2:
+        if (age is None or age <= 3) and name not in ALLOWED_STALE_OUTSIDE:
             assert name in window, (name, age)
