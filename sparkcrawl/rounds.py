@@ -314,8 +314,11 @@ class CrawlEngine:
         configuration."""
         conf = self.spark.conf
         saved = conf.get("spark.sql.shuffle.partitions")
-        parts = max(self.n_buckets,
-                    min(int(saved),
+        # never ABOVE the session value (a local[2] leg configured at 16
+        # must not be amplified to a large bucket count), never below
+        # n_buckets unless the session itself is configured lower
+        parts = min(int(saved),
+                    max(self.n_buckets,
                         int(workload_rows) // ROWS_PER_SHUFFLE_TASK + 1))
         conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
