@@ -2104,12 +2104,29 @@ def _pq_subvecs(e, col: str = "embedding"):
 
 
 def _pq_cb_row(cb):
-    """ALL codebook entries of all subspaces on ONE broadcast row as
-    array<struct<sub, cid, ce>> (the _centroid_row model-as-data
-    pattern — M·K entries of PQ_D doubles, a few KB at any real size)."""
-    return F.broadcast(cb.agg(
+    """ALL codebook entries on ONE broadcast row, GROUPED BY SUBSPACE:
+    array (indexed by sub) of array<struct<cid, ce>> — the _centroid_row
+    model-as-data pattern (M·K entries of PQ_D doubles, a few KB at any
+    real size).  Indexed-by-sub so every per-row probe is one O(1)
+    element_at instead of filtering the flat M·K array per subvector
+    (the filter scan ran once per row per sub on every encode/serve
+    pass)."""
+    flat = cb.agg(
         F.sort_array(F.collect_list(F.struct("sub", "cid", "ce")))
-        .alias("_cb")))
+        .alias("_cb_flat"))
+    by_sub = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.filter(F.col("_cb_flat"), lambda c: c["sub"] == m.cast("int")),
+            lambda c: F.struct(c["cid"].alias("cid"), c["ce"].alias("ce"))))
+    return F.broadcast(flat.select(by_sub.alias("_cb")))
+
+
+def _pq_sub_entries(sub_col):
+    """The codebook entries of one subspace from the broadcast ``_cb``
+    (sorted by cid — sort_array on (sub, cid, ce) ordered the flat list,
+    and the group-by-sub transform preserves it)."""
+    return F.element_at(F.col("_cb"), sub_col.cast("int") + 1)
 
 
 def _pq_best(sv_col, sub_col):
@@ -2118,7 +2135,7 @@ def _pq_best(sv_col, sub_col):
     argmin ROUNDED distance with lowest-cid tie-break (the frozen
     rule, same as _cell_structs)."""
     return F.array_min(F.transform(
-        F.filter(F.col("_cb"), lambda c: c["sub"] == sub_col),
+        _pq_sub_entries(sub_col),
         lambda c: F.struct(_l2_col(sv_col, c["ce"]).alias("d"),
                            c["cid"].cast("int").alias("cid"))))
 
@@ -2277,7 +2294,7 @@ def _pq_dt_expr(vec_col):
     return F.transform(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.map_from_entries(F.transform(
-            F.filter(F.col("_cb"), lambda c: c["sub"] == m.cast("int")),
+            _pq_sub_entries(m),
             lambda c: F.struct(
                 c["cid"].cast("int").alias("k"),
                 _l2_col(F.slice(vec_col, m * PQ_D + 1, F.lit(PQ_D)),
