@@ -88,6 +88,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                        F.count("*").alias("n")).collect()[0]
     prev_sum, n_nodes = first["s"], first["n"]
     edges = edges.persist()
+    # materialize the edge table BEFORE the state-sized scope: its
+    # upstream (e.g. the whole LSH pair chain) is corpus-scale work that
+    # must run at the session's parallelism, not the iteration state's
+    edges.count()
     try:
         with _iter_shuffle(spark, n_nodes):
             for _ in range(max_iters):
@@ -219,6 +223,9 @@ def graph_pagerank(spark, sf, iters: int = PR_ITERS):
                      .cast("long").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("k"))
     edges_deg = edges.join(deg, "src").persist()
+    # husk/degree chain materialized at session parallelism, before the
+    # state-sized iteration scope (see connected_components)
+    edges_deg.count()
     try:
         with _iter_shuffle(spark, n):
             ranks = docs.select(F.col("doc_id").alias("v"),
@@ -357,6 +364,7 @@ def graph_hits(spark, sf, iters: int = HITS_ITERS):
     try:
         from .crawlq import _DOC_COUNTS
         n_docs = _DOC_COUNTS.get(sf) or docs.count()
+        edges.count()  # husk chain at session parallelism, pre-scope
         hub = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("h"))
         auth = None
         # checkpoints stay per half-round (auth feeds BOTH the next
@@ -434,6 +442,7 @@ def graph_bfs_depth(spark, sf, horizon: int = BFS_HORIZON):
         first = depth.agg(F.sum("d").alias("s"),
                           F.count("*").alias("n")).collect()[0]
         prev_sum, n_docs = first["s"], first["n"]
+        edges.count()  # husk chain at session parallelism, pre-scope
         with _iter_shuffle(spark, n_docs):
             for _ in range(horizon):
                 nbr = (edges.join(depth, edges["src"] == depth["doc_id"])
