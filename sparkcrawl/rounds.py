@@ -181,12 +181,17 @@ class CrawlEngine:
     # ------------------------------------------------------------------ init
     def init(self, seed_urls: List[str]) -> None:
         """A1: round 0 — seed ingest, initial pending + seen state."""
+        from pyspark.sql import Observation
         with self._round_shuffle_scope(len(seed_urls)):
             seeds = seeds_to_frontier(self.spark, seed_urls, self.n_buckets)
             self.frontier.append(seeds, 0)
             seeds_back = self.frontier.read(self.spark)
-            self.pending.replace(seeds_back, 0)
-            self._pending_count = self.pending.read(self.spark).count()
+            # pending count rides the replace write via observe() —
+            # a separate count() was one extra action per init
+            obs = Observation()
+            self.pending.replace(
+                seeds_back.observe(obs, F.count(F.lit(1)).alias("n")), 0)
+            self._pending_count = int(obs.get["n"] or 0)
             self._update_blooms(seeds_back, 0)
         # metadata-only round-0 snapshots (an empty-DataFrame append was
         # a full Spark write job each — 3 jobs of pure overhead per init)
