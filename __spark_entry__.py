@@ -51,14 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 14 dedup/ANN/text/multimodal ops (absent from r01) and the round-2
 # additions, then the crawl ops, then relational.
 # Round-6 window (slots 1-50, asserted by tests/test_entry_rotation.py).
-# Round 6 is the optimization round: results are frozen, but ~21
+# Round 6 is the optimization round: results are frozen, but 26
 # queries' PLANS changed (minhash one-pass signatures, iterative-loop
 # chaining/shuffle sizing, _doc_pages repartition, BPE bucketed vocab,
 # storage observe-guard).  Those lead the window so the driver re-proves
 # them green on the new plans; the rest of the window refreshes the
 # oldest (r03) evidence per VERDICT r5 task 2.
-#   1-25  code changed in round 6 (re-prove on the optimized plans)
-#  26-50  25 of the remaining r03-aged queries
+#   1-26  code changed in round 6 (re-prove on the optimized plans)
+#  27-50  24 of the remaining r03-aged queries
 # Past slot 50: six r03-aged rows stay — the lowest-risk ones (trivial
 # built-in ops / rows-only with dedicated local oracle tests) — then
 # the r04/r05-evidenced rest.
@@ -66,7 +66,7 @@ _PRIORITY = [
     # -- code changed in round 6 --
     "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semantic_clusters",
-    "pipeline_curate_mix",
+    "dedup_simhash", "pipeline_curate_mix",
     "graph_pagerank", "graph_hits", "graph_bfs_depth",
     "graph_triangle_count", "crawl_rank_frontier",
     "crawl_extract_text", "crawl_link_graph", "husker_scrape_fields",
@@ -82,7 +82,7 @@ _PRIORITY = [
     "text_chunk_split", "text_model_score", "text_repetition_filter",
     "embed_centroids", "multimodal_frame_sample",
     "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
-    "array_ops", "date_trunc_agg", "datediff_extract",
+    "date_trunc_agg", "datediff_extract",
     "parse_url_host", "percentile_prices", "pivot_segments",
     "regexp_ops", "session_window", "set_union_intersect_except",
     "sliding_window", "sort_limit_topn", "string_funcs",
@@ -91,6 +91,7 @@ _PRIORITY = [
     #      window this round ----
     "hash_xxhash64", "distinct_rows",
     "explode_words", "hash_md5", "json_extract", "math_funcs",
+    "array_ops",
     # r05-evidenced (unchanged plans)
     "join_inner", "join_left_outer", "join_full_outer", "join_semi",
     "join_anti", "join_broadcast_dim", "join_asof", "join_cross",

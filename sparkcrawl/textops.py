@@ -251,20 +251,26 @@ FROM votes GROUP BY doc_id
 def dedup_simhash(spark, sf):
     """SimHash (16-bit here; 64-bit at scale): per-bit occurrence-weighted
     votes from the nibble bits of md5(word).  Bit j is the high bit of hex
-    digit j — portable across engines.  Equal simhash ⇒ near-dup bucket."""
-    w = _words(t(spark, sf, "documents"))
-    bits = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j")
-    votes = (
-        w.withColumn("h", F.md5(F.encode("w", "UTF-8")))
-        .select("doc_id", "h", bits)
-        .withColumn("bit", F.substring(F.col("h"), F.col("j") + 1, F.lit(1)))
-        .groupBy("doc_id", "j")
-        .agg(F.sum(F.when(F.col("bit") >= "8", 1).otherwise(-1)).alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0,
-                     F.pow(F.lit(2), F.col("j")).cast("long"))
-              .otherwise(0)).cast("long").alias("simhash"))
+    digit j — portable across engines.  Equal simhash ⇒ near-dup bucket.
+    All 16 bit-votes are computed as 16 agg expressions in ONE
+    groupBy(doc_id) over the un-multiplied word rows (the oracle's
+    16-way bit CROSS JOIN would multiply every word row before the
+    partial sum — the _minhash_sig_wide argument, guide §2.3), and the
+    vote→bit combination is in-row — one exchange total, carrying one
+    row of 16 ints per doc."""
+    w = (t(spark, sf, "documents")
+         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+         .withColumn("h", F.md5(F.encode("w", "UTF-8"))))
+    votes = w.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.substring(F.col("h"), j + 1, 1) >= "8", 1)
+              .otherwise(-1)).alias(f"v{j}")
+        for j in range(16)])
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 @q("dedup_ngram_jaccard", f"""

@@ -15,10 +15,10 @@ import __spark_entry__ as entry
 # the round-6 window, slot by slot (kept in lockstep with _PRIORITY's
 # comment — a drift here is the bug this test exists to catch)
 EXPECTED_FIRST_50 = [
-    # 25 whose plans changed in the round-6 optimization pass
+    # 26 whose plans changed in the round-6 optimization pass
     "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semantic_clusters",
-    "pipeline_curate_mix",
+    "dedup_simhash", "pipeline_curate_mix",
     "graph_pagerank", "graph_hits", "graph_bfs_depth",
     "graph_triangle_count", "crawl_rank_frontier",
     "crawl_extract_text", "crawl_link_graph", "husker_scrape_fields",
@@ -28,13 +28,13 @@ EXPECTED_FIRST_50 = [
     "icebergish_time_travel",
     "embed_pq_codes", "ann_ivfpq_topk", "ann_ivfpq_indexed",
     "ann_ivfpq_residual",
-    # 25 r03-aged refreshes
+    # 24 r03-aged refreshes
     "dedup_lines_boilerplate",
     "text_tfidf_topk", "text_ngram_topk", "text_unigram_ppl",
     "text_chunk_split", "text_model_score", "text_repetition_filter",
     "embed_centroids", "multimodal_frame_sample",
     "crawl_host_rollup", "crawl_sitemaps", "tumbling_window",
-    "array_ops", "date_trunc_agg", "datediff_extract",
+    "date_trunc_agg", "datediff_extract",
     "parse_url_host", "percentile_prices", "pivot_segments",
     "regexp_ops", "session_window", "set_union_intersect_except",
     "sliding_window", "sort_limit_topn", "string_funcs",
@@ -45,7 +45,7 @@ EXPECTED_FIRST_50 = [
 # trivial / rows-only with dedicated local twins)
 ALLOWED_STALE_OUTSIDE = {"hash_xxhash64", "distinct_rows",
                          "explode_words", "hash_md5", "json_extract",
-                         "math_funcs"}
+                         "math_funcs", "array_ops"}
 
 
 def test_first_50_slots_are_exactly_the_declared_window():
